@@ -1,0 +1,201 @@
+"""Registry of driver-checked queries + DuckDB oracle SQL.
+
+Each query exercises an operator from SURVEY.md §2 (or a
+training-data-pipeline extension) through the real package code paths,
+then renames/rounds outputs so the driver's order-insensitive
+value-hash compare is stable across engines:
+
+- float aggregates → ``round(x, 6)`` on both sides;
+- identical aliases in Spark and SQL (driver sorts columns by name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _round_doubles(df: DataFrame, digits: int = 6) -> DataFrame:
+    exprs = []
+    for f_ in df.schema.fields:
+        if f_.dataType.simpleString() in ("double", "float"):
+            exprs.append(F.round(F.col(f_.name), digits).alias(f_.name))
+        else:
+            exprs.append(F.col(f_.name))
+    return df.select(*exprs)
+
+
+# ---------------------------------------------------------------------------
+# Evaluator core: D1 interval bucketing + A1-A10 single-pass stats
+# ---------------------------------------------------------------------------
+
+@register(
+    "interval_stats_events_1d",
+    oracle="""
+    SELECT date_trunc('day', ts) AS bucket_day,
+           count(*) AS n_values,
+           round(avg(value), 6) AS target_avg,
+           count(DISTINCT event_type)
+             + max(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS event_type_nunique,
+           round(avg(CASE WHEN event_type IS NULL THEN 1.0 ELSE 0.0 END), 6)
+             AS event_type_null_ratio,
+           count(DISTINCT user_id)
+             + max(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS user_id_nunique,
+           round(avg(CASE WHEN user_id IS NULL THEN 1.0 ELSE 0.0 END), 6)
+             AS user_id_null_ratio,
+           round(min(user_id), 6) AS user_id_min,
+           round(max(user_id), 6) AS user_id_max,
+           round(avg(user_id), 6) AS user_id_mean,
+           round(median(user_id), 6) AS user_id_median,
+           round(stddev_samp(user_id), 6) AS user_id_std,
+           count(DISTINCT value)
+             + max(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value_nunique,
+           round(avg(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END), 6)
+             AS value_null_ratio,
+           round(min(value), 6) AS value_min,
+           round(max(value), 6) AS value_max,
+           round(avg(value), 6) AS value_mean,
+           round(median(value), 6) AS value_median,
+           round(stddev_samp(value), 6) AS value_std
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def interval_stats_events_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full stage-1 evaluator aggregation over events at 1d.
+
+    Exercises D1 (date_trunc bucketing), A1 (count), A2 (target mean),
+    A3 (null-inclusive distinct), A4 (null ratio), A5-A9 (numeric stats)
+    in ONE HashAggregate pass (SURVEY.md §2.5).
+    """
+    from .operators.preprocess import make_preprocessing
+
+    df = _t(spark, sf_dir, "events")
+    res = make_preprocessing(
+        df,
+        {
+            "date_column": "ts",
+            "time_interval": "1d",
+            "target_column": "value",
+            "columns_to_exclude": ["event_id", "props"],
+        },
+    )
+    renames = {
+        "__time_interval": "bucket_day",
+        " __Number of values": "n_values",
+        " __Target average": "target_avg",
+        "__ event_type __Number of unique values": "event_type_nunique",
+        "__ event_type __Proportion of missing values": "event_type_null_ratio",
+        "__ user_id __Number of unique values": "user_id_nunique",
+        "__ user_id __Proportion of missing values": "user_id_null_ratio",
+        "n__ user_id __Min": "user_id_min",
+        "n__ user_id __Max": "user_id_max",
+        "n__ user_id __Mean": "user_id_mean",
+        "n__ user_id __Median": "user_id_median",
+        "n__ user_id __Standard deviation": "user_id_std",
+        "__ value __Number of unique values": "value_nunique",
+        "__ value __Proportion of missing values": "value_null_ratio",
+        "n__ value __Min": "value_min",
+        "n__ value __Max": "value_max",
+        "n__ value __Mean": "value_mean",
+        "n__ value __Median": "value_median",
+        "n__ value __Standard deviation": "value_std",
+    }
+    out = res.aggregate
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    # min/max of integral columns come back as bigint in Spark but double
+    # via round() in DuckDB — cast for schema agreement
+    out = out.withColumn("user_id_min", F.col("user_id_min").cast("double"))
+    out = out.withColumn("user_id_max", F.col("user_id_max").cast("double"))
+    out = out.withColumn("user_id_mean", F.col("user_id_mean").cast("double"))
+    out = out.withColumn("user_id_median", F.col("user_id_median").cast("double"))
+    return _round_doubles(out)
+
+
+@register(
+    "bucket_25h_events",
+    oracle="""
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 90000) AS BIGINT) * 90000 * 1000000)
+             AS bucket_25h,
+           count(*) AS n_events,
+           count(DISTINCT event_type) AS n_types
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def bucket_25h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 with an arbitrary composite interval ("1d1h" → 25h epoch-aligned
+    tumbling buckets) — the reference's dt.truncate generalization."""
+    from .functions.intervals import truncate_to_interval
+
+    df = _t(spark, sf_dir, "events")
+    return (
+        df.groupBy(truncate_to_interval(F.col("ts"), "1d1h").alias("bucket_25h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .orderBy("bucket_25h")
+    )
+
+
+@register(
+    "filter_transform_orders",
+    oracle="""
+    SELECT date_trunc('day', o_orderdate) AS bucket_day,
+           count(*) AS n_orders,
+           round(avg(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 6) AS target_avg,
+           CAST(sum(CAST(o_totalprice * 1.1 AS DECIMAL(38,6))) AS DOUBLE) AS taxed_total
+    FROM orders
+    WHERE o_totalprice > 1000.0 AND CAST(o_orderdate AS DATE) > DATE '1995-01-01'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def filter_transform_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 SQL filter (with ::date shim) + P1 sequential transforms
+    (replace-or-append, later exprs see earlier aliases)."""
+    from .operators.preprocess import apply_filter, apply_transformations
+    from .functions.intervals import truncate_to_interval
+
+    df = _t(spark, sf_dir, "orders")
+    df = apply_filter(
+        df,
+        "select * from self where o_totalprice > 1000.0 "
+        "and o_orderdate::date > '1995-01-01'",
+    )
+    df = apply_transformations(
+        df,
+        {
+            "target_column": "(o_orderstatus = 'F')::int",
+            "taxed": "o_totalprice * 1.1",
+        },
+    )
+    return (
+        df.groupBy(truncate_to_interval(F.col("o_orderdate"), "1d").alias("bucket_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("target_column"), 6).alias("target_avg"),
+            # decimal-sum: exact + order-independent, so the value-hash is
+            # stable across engines and partitionings (see module docstring)
+            F.sum(F.col("taxed").cast("decimal(38,6)")).cast("double").alias("taxed_total"),
+        )
+        .orderBy("bucket_day")
+    )
