@@ -1,0 +1,114 @@
+"""Per-turn heuristic text statistics — dual Spark/pandas implementations.
+
+The Spark side stays 100% JVM (built-in ``pyspark.sql.functions`` inside
+whole-stage codegen — these are the hot-path features at 10^12 rows);
+the pandas side is the single-node oracle. Parity is guaranteed by
+using only regex constructs with identical semantics in Java and Python
+regex engines (explicit ASCII classes, ``\\S``, no locale-dependent
+classes) — verified by the golden tests over the full fixture
+distribution.
+
+Features:
+- ``n_chars``   code-point length
+- ``n_tokens``  count of ``\\S+`` runs (whitespace tokenization)
+- ``symbol_ratio``      ASCII-punctuation chars / n_chars
+- ``distinct_token_ratio``  distinct lowercase tokens / tokens
+- ``stopword_ratio``    English stopword tokens / tokens (quality score input)
+- ``quality_score``     composite in [0,1] (length/punct/stopword blend)
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Explicit ASCII punctuation/symbol set: '!'..'/'  ':'..'@'  '['..'`'  '{'..'~'
+SYMBOL_CLASS = r"[!-/:-@\[-`{-~]"
+TOKEN_CLASS = r"\S+"
+
+STOPWORDS = [
+    "the", "and", "of", "is", "to", "a", "in", "for", "with", "on",
+    "it", "this", "that", "we", "our", "an", "be", "as", "at", "by",
+]
+_STOPWORD_RE = r"(?i)\b(?:" + "|".join(STOPWORDS) + r")\b"
+
+
+# ---------------------------------------------------------------------------
+# Spark side (Column expressions — JVM, codegen)
+# ---------------------------------------------------------------------------
+
+def spark_text_features(text: Column) -> dict[str, Column]:
+    """Build the feature Columns for a text column."""
+    n_chars = F.length(text)
+    n_tokens = F.regexp_count(text, F.lit(TOKEN_CLASS))
+    n_symbols = F.regexp_count(text, F.lit(SYMBOL_CLASS))
+    tokens = F.split(F.trim(F.lower(text)), r"\s+")
+    # split('') yields [''] — guard via n_tokens
+    n_distinct = F.when(n_tokens > 0, F.array_size(F.array_distinct(tokens))).otherwise(F.lit(0))
+    n_stop = F.regexp_count(F.lower(text), F.lit(_STOPWORD_RE.replace("(?i)", "")))
+    symbol_ratio = F.when(n_chars > 0, n_symbols / n_chars).otherwise(F.lit(0.0))
+    distinct_ratio = F.when(n_tokens > 0, n_distinct / n_tokens).otherwise(F.lit(1.0))
+    stopword_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    quality = (
+        F.least(n_tokens / F.lit(20.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(symbol_ratio * 2, F.lit(1.0))) * 0.3
+        + F.least(stopword_ratio * 4, F.lit(1.0)) * 0.3
+    )
+    return {
+        "n_chars": n_chars.cast("int"),
+        "n_tokens": n_tokens.cast("int"),
+        "symbol_ratio": symbol_ratio.cast("double"),
+        "distinct_token_ratio": distinct_ratio.cast("double"),
+        "stopword_ratio": stopword_ratio.cast("double"),
+        "quality_score": quality.cast("double"),
+    }
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    feats = spark_text_features(F.col(text_col))
+    return df.withColumns(feats)
+
+
+# ---------------------------------------------------------------------------
+# pandas side (oracle — same math, same regexes)
+# ---------------------------------------------------------------------------
+
+_WS_SPLIT = re.compile(r"\s+")
+
+
+def _distinct_ratio_one(t: str) -> float:
+    toks = [x for x in _WS_SPLIT.split(t.strip().lower()) if x]
+    if not toks:
+        return 1.0
+    return len(set(toks)) / len(toks)
+
+
+def pandas_text_features(texts: pd.Series) -> pd.DataFrame:
+    s = texts.fillna("").astype(str)
+    n_chars = s.str.len().astype("int64")
+    n_tokens = s.str.count(TOKEN_CLASS).astype("int64")
+    n_symbols = s.str.count(SYMBOL_CLASS).astype("int64")
+    n_stop = s.str.lower().str.count(_STOPWORD_RE.replace("(?i)", ""))
+    symbol_ratio = np.where(n_chars > 0, n_symbols / n_chars.replace(0, 1), 0.0)
+    distinct_ratio = s.map(_distinct_ratio_one)
+    stopword_ratio = np.where(n_tokens > 0, n_stop / n_tokens.replace(0, 1), 0.0)
+    quality = (
+        np.minimum(n_tokens / 20.0, 1.0) * 0.4
+        + (1.0 - np.minimum(symbol_ratio * 2, 1.0)) * 0.3
+        + np.minimum(stopword_ratio * 4, 1.0) * 0.3
+    )
+    return pd.DataFrame(
+        {
+            "n_chars": n_chars.astype("int32"),
+            "n_tokens": n_tokens.astype("int32"),
+            "symbol_ratio": symbol_ratio.astype("float64"),
+            "distinct_token_ratio": distinct_ratio.astype("float64"),
+            "stopword_ratio": stopword_ratio.astype("float64"),
+            "quality_score": pd.Series(quality, index=s.index).astype("float64"),
+        },
+        index=s.index,
+    )

@@ -1,0 +1,63 @@
+"""End-to-end quality-filter pipeline over transcripts.
+
+read → per-turn features (map-only) → conversation features (one
+shuffle by conv_id) → rules → keep/drop + scrubbed text → outputs:
+
+- ``labels``   (conv_id, turn_idx, keep, <rule flags>)
+- ``scrubbed`` (conv_id, turn_idx, text_scrubbed)
+- ``stats``    per-interval per-rule pass rates (evaluator core over ts,
+  mirroring the reference's interval aggregation — preprocess.py:69)
+
+The whole pipeline is one Spark job with a single wide shuffle; scrub
+and scoring UDFs ride Arrow batches.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.intervals import truncate_to_interval
+from ..functions.scrub import scrub_batch
+from .features import with_conversation_features, with_turn_features
+from .rules import RULE_NAMES, Thresholds, with_rules
+
+scrub_udf = F.pandas_udf(scrub_batch, returnType=T.StringType())
+
+
+def run_quality_pipeline(
+    df: DataFrame, thresholds: Thresholds = Thresholds()
+) -> DataFrame:
+    """Full per-turn result frame: input columns + features + rule flags +
+    ``keep`` + ``text_scrubbed``. Lazy — callers pick an action/sink."""
+    df = with_turn_features(df)
+    df = with_conversation_features(df)
+    df = with_rules(df, thresholds)
+    return df.withColumn("text_scrubbed", scrub_udf(F.col("text")))
+
+
+def labels_frame(result: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, keep, rule flags) — the F1-checked artifact."""
+    return result.select("conv_id", "turn_idx", "keep", *RULE_NAMES)
+
+
+def scrubbed_frame(result: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, text_scrubbed) — the byte-exact artifact."""
+    return result.select("conv_id", "turn_idx", "text_scrubbed")
+
+
+def interval_rule_stats(
+    result: DataFrame, time_interval: str = "1d"
+) -> DataFrame:
+    """Per-interval per-rule pass rates + keep rate (evaluator-core
+    interval aggregation applied to the rule columns).
+
+    One HashAggregate pass; output cardinality = #intervals — tiny.
+    """
+    bucket = truncate_to_interval(F.col("ts"), time_interval).alias("__time_interval")
+    aggs = [F.count(F.lit(1)).alias("n_turns"), F.avg(F.col("keep").cast("double")).alias("keep_rate")]
+    for r in RULE_NAMES:
+        aggs.append(F.avg(F.col(r).cast("double")).alias(f"{r}_pass_rate"))
+    return result.groupBy(bucket).agg(*aggs).orderBy("__time_interval")
