@@ -1,0 +1,204 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default run (what the driver records as BENCH_r{N}.json):
+- headline oracle queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+  on local[$SPARK_GRAFT_CPUS];
+- the quality-filter pipeline end-to-end (langid + perplexity + heuristics +
+  scrub + conversation reassembly + labels/scrubbed/stats materialization)
+  over a deterministic bench transcripts table;
+- a two-parallelism scaling measurement (local[N/4] vs local[N]) of the
+  quality pipeline on the SAME input — the sandbox proxy for the north rule's
+  N → 4N executor scaling-efficiency ≥ 0.8 criterion.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "pipeline": {...}, "scaling": {...}}
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+SPARK_GRAFT_BENCH_CONVS (default 60000), SPARK_GRAFT_SKIP_SCALING=1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "240000"))
+SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "60000"))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+BENCH_DATA = os.path.join(_HERE, ".bench_data", f"transcripts_{BENCH_CONVS}.parquet")
+SCALE_DATA = os.path.join(_HERE, ".bench_data", f"transcripts_{SCALE_CONVS}.parquet")
+
+
+def _mk_spark(cores: int):
+    from data_quality_automated_evaluator_spark.session import get_spark
+
+    # 4 partitions per core: task-cost skew (8KB junk blobs vs 100-char
+    # turns) needs multiple waves per core or the slowest task sets the
+    # wall clock (measured: 31 tasks @32 cores ran 20% slower than 128)
+    return get_spark(
+        app_name=f"bench-local{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(cores * 4, 32),
+    )
+
+
+def _ensure_bench_data() -> tuple[str, str]:
+    from data_quality_automated_evaluator_spark.testdata import write_transcripts_parquet
+
+    if not os.path.exists(BENCH_DATA):
+        write_transcripts_parquet(BENCH_DATA, n_convs=BENCH_CONVS, seed=42)
+    if not os.path.exists(SCALE_DATA):
+        write_transcripts_parquet(SCALE_DATA, n_convs=SCALE_CONVS, seed=42)
+    return BENCH_DATA, SCALE_DATA
+
+
+def _hw_parallel_factor(n: int) -> float:
+    """Control experiment: pure-CPU Python burn at parallelism n vs 1.
+    Returns wall(n)/wall(1) — the hardware's own parallel slowdown (VM
+    steal / frequency) that bounds ANY n-way measurement on this box."""
+    import multiprocessing as mp
+
+    def burn(q):
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(10_000_000):
+            x += i * i
+        q.put(time.perf_counter() - t0)
+
+    walls = []
+    for procs in (1, n):
+        q = mp.Queue()
+        ps = [mp.Process(target=burn, args=(q,)) for _ in range(procs)]
+        t0 = time.perf_counter()
+        for p in ps:
+            p.start()
+        for p in ps:
+            p.join()
+        walls.append(time.perf_counter() - t0)
+    return walls[1] / walls[0]
+
+
+def _run_pipeline(spark, path: str) -> tuple[float, int]:
+    """Time the full pipeline end-to-end through the real sink (one pass:
+    features -> rules -> scrub -> partitioned write -> stats + ledger).
+    Returns (seconds, n_turns)."""
+    import shutil
+    import tempfile
+
+    from data_quality_automated_evaluator_spark.pipeline.sinks import QualitySink
+
+    out_root = tempfile.mkdtemp(prefix="bench_sink_", dir=os.path.dirname(BENCH_DATA))
+    try:
+        df = spark.read.parquet(path)
+        sink = QualitySink(out_root)
+        t0 = time.perf_counter()
+        summary = sink.run(df)
+        dt = time.perf_counter() - t0
+        assert summary["n_turns"] > 0 and summary["n_keep"] > 0
+        return dt, summary["n_turns"]
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+
+
+def _pinned_steady_sec(cores: int, path: str) -> float:
+    """Run bench_worker.py under ``taskset -c 0..cores-1`` so JVM + Python
+    workers together get exactly ``cores`` physical CPUs (the honest N-core
+    cluster proxy), and parse its steady-state seconds."""
+    import subprocess
+
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_worker.py")
+    cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, worker, str(cores), path]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return float(line.split()[1])
+    raise RuntimeError(f"bench worker failed: {out.stdout[-500:]} {out.stderr[-2000:]}")
+
+
+
+
+def main() -> None:
+    queries_sec: dict[str, float] = {}
+    result: dict = {"unit": "sec", "sf": float(SF_DIR.rstrip("/").split("sf")[-1])}
+
+    import __spark_entry__ as entrymod
+
+    data_path, scale_path = _ensure_bench_data()
+
+    spark = _mk_spark(CPUS)
+    # warm the JVM/Arrow paths so per-query numbers measure the plan, not init
+    spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+    for name, fn in sorted(entrymod.queries().items()):
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        queries_sec[name] = round(time.perf_counter() - t0, 3)
+
+    # quality pipeline at full parallelism
+    pipe_sec, n_turns = _run_pipeline(spark, data_path)
+    tps_full = n_turns / pipe_sec
+    pipeline = {
+        "n_turns": n_turns,
+        f"local[{CPUS}]_sec": round(pipe_sec, 3),
+        f"local[{CPUS}]_turns_per_sec": round(tps_full, 1),
+    }
+    spark.stop()
+
+    scaling: dict = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1" and CPUS >= 8:
+        import duckdb
+
+        n_scale = duckdb.sql(
+            f"select count(*) from '{scale_path}'"
+        ).fetchone()[0]
+        # same job, same input, three CPU-pinned parallelism levels.
+        # 2 -> 8 cores sits below this VM's saturation point and shows the
+        # pipeline's own scaling; 8 -> 32 additionally absorbs the VM's
+        # hardware ceiling, which the pure-CPU control quantifies.
+        tps = {}
+        for cores in (2, 8, min(32, CPUS)):
+            sec = _pinned_steady_sec(cores, scale_path)
+            tps[cores] = n_scale / sec
+        hw32 = _hw_parallel_factor(min(32, CPUS))
+        eff_2_8 = tps[8] / (4.0 * tps[2])
+        eff_8_32 = tps[min(32, CPUS)] / (4.0 * tps[8])
+        scaling = {
+            "method": (
+                "CPU-pinned (taskset 0..N-1) warm steady-state, full pipeline "
+                "all columns, noop sink, best of 2; same input at every level"
+            ),
+            "n_turns": n_scale,
+            "turns_per_sec": {str(k): round(v, 1) for k, v in tps.items()},
+            "scaling_efficiency_2_to_8": round(eff_2_8, 3),
+            "scaling_efficiency_8_to_32": round(eff_8_32, 3),
+            "hw_parallel_factor_32way": round(hw32, 3),
+            "note": (
+                "pure-CPU 32-proc control runs at 1/hw_parallel_factor of "
+                "single-proc speed on this VM — the 8->32 figure divided by "
+                "that ceiling gives the pipeline's own scaling"
+            ),
+        }
+
+    result.update(
+        {
+            "metric": "turns_per_sec_quality_pipeline",
+            "value": round(tps_full, 1),
+            "queries": queries_sec,
+            "pipeline": pipeline,
+            "scaling": scaling,
+        }
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

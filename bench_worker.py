@@ -1,0 +1,46 @@
+#!/usr/bin/env python
+"""Scaling-measurement worker: runs the full quality pipeline at a given
+parallelism and prints the warm steady-state seconds as one float line.
+
+Invoked by bench.py under ``taskset -c 0..N-1`` so that "N cores" means N
+physical CPUs for JVM *and* Python workers together — the honest sandbox
+proxy for an N-core cluster (without pinning, a local[8] session borrows
+idle cores for its UDF workers and the N vs 4N comparison is meaningless).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    cores = int(sys.argv[1])
+    path = sys.argv[2]
+    runs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+
+    from data_quality_automated_evaluator_spark.session import get_spark
+    from data_quality_automated_evaluator_spark.pipeline.quality import run_quality_pipeline
+
+    spark = get_spark(
+        app_name=f"bench-worker-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(cores * 4, 32),
+    )
+    df = spark.read.parquet(path).repartition(cores * 4)
+    res = run_quality_pipeline(df)
+    res.write.format("noop").mode("overwrite").save()  # warm-up
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        res.write.format("noop").mode("overwrite").save()
+        times.append(time.perf_counter() - t0)
+    spark.stop()
+    print(f"RESULT {min(times):.4f}")
+
+
+if __name__ == "__main__":
+    main()

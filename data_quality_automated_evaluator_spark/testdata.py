@@ -171,5 +171,8 @@ def write_transcripts_parquet(path: str, n_convs: int = 3000, seed: int = 42) ->
         return path
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     pdf = generate_transcripts(n_convs=n_convs, seed=seed)
-    pdf.to_parquet(path, index=False)
+    # microsecond timestamps — Spark's parquet reader rejects NANOS;
+    # small row groups so Spark can split the file across many tasks
+    pdf.to_parquet(path, index=False, coerce_timestamps="us",
+                   allow_truncated_timestamps=True, row_group_size=20000)
     return path
