@@ -113,13 +113,14 @@ class QualitySink:
         out.write.mode("overwrite").partitionBy("part_date").parquet(self.turns_dir)
 
         # stats + per-partition metrics from the WRITTEN output (cheap,
-        # column-pruned re-read of compact parquet, never the raw input)
-        written = spark.read.parquet(self.turns_dir).filter(
-            F.col("part_date").isin(pending)
-        )
-        stats = interval_rule_stats(written, time_interval)
+        # column-pruned re-read of compact parquet, never the raw input).
+        # stats cover the WHOLE table so an interrupted+resumed run
+        # converges to the same stats artifact as an uninterrupted one.
+        all_written = spark.read.parquet(self.turns_dir)
+        stats = interval_rule_stats(all_written, time_interval)
         stats.write.mode("overwrite").parquet(self.stats_dir)
 
+        written = all_written.filter(F.col("part_date").isin(pending))
         metrics = (
             written.groupBy("part_date")
             .agg(
