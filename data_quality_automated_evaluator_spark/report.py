@@ -1,0 +1,140 @@
+"""Markdown report writer (SURVEY.md §2.8 K1, §2.10 formatting).
+
+Driver-side: consumes the collected stage-1 aggregate + stage-2
+evaluations and writes a human-readable markdown report with a TOC,
+an overview section, and one section per source column (numeric columns
+get the extended min/max/mean/median/std subsection). Number formatting
+mirrors the reference's conventions (report.py:322-346): thousands
+separators for integral values, fixed precision for floats, ``±``-joined
+mean/std pairs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from .functions.aggregates import (
+    COLUMN_PREFIX,
+    NUMERIC_PREFIX,
+    OVERVIEW_PREFIX,
+    TIME_INTERVAL_COL,
+)
+from .operators.evaluate import ColumnEvaluation, evaluate_data
+
+
+def format_number(x) -> str:
+    """Thousands separators for integral values, 4 significant decimals
+    otherwise, scientific for very large/small magnitudes."""
+    if x is None or (isinstance(x, float) and pd.isna(x)):
+        return "—"
+    if isinstance(x, (int,)) or (isinstance(x, float) and float(x).is_integer()):
+        v = int(x)
+        return f"{v:,}" if abs(v) < 10**15 else f"{float(v):.4e}"
+    x = float(x)
+    if x != 0 and (abs(x) >= 10**9 or abs(x) < 10**-4):
+        return f"{x:.4e}"
+    return f"{x:,.4f}"
+
+
+def format_pair(mean, std) -> str:
+    return f"{format_number(mean)} ± {format_number(std)}"
+
+
+def _anchor(title: str) -> str:
+    return title.lower().replace(" ", "-").replace(",", "").replace("%", "")
+
+
+def _stats_table(evals: list[ColumnEvaluation]) -> str:
+    """Transposed markdown table: statistics as rows, columns as series
+    (reference report.py:272-278 layout)."""
+    if not evals:
+        return "_no statistics_\n"
+    headers = [e.title for e in evals]
+    rows = [
+        ("Mean ± Std", [format_pair(e.mean, e.std) for e in evals]),
+        ("Range [Min]", [format_number(e.min) for e in evals]),
+        ("Range [Max]", [format_number(e.max) for e in evals]),
+        ("Q1", [format_number(e.q1) for e in evals]),
+        ("Q3", [format_number(e.q3) for e in evals]),
+        ("IQR outliers, %", [format_number(e.pct_outliers_iqr) for e in evals]),
+        ("Z-score outliers, %", [format_number(e.pct_outliers_zscore) for e in evals]),
+    ]
+    md = "| Statistic | " + " | ".join(headers) + " |\n"
+    md += "|---" * (len(headers) + 1) + "|\n"
+    for name, cells in rows:
+        md += f"| {name} | " + " | ".join(cells) + " |\n"
+    return md
+
+
+def make_report(
+    aggregate: pd.DataFrame,
+    metadata: dict[str, str | None],
+    config: dict | None = None,
+    output_path: str | None = None,
+) -> str:
+    """Build (and optionally write) the markdown report.
+
+    ``aggregate``: collected stage-1 output (``__time_interval`` + the
+    name-encoded stat columns). ``metadata``: source column → numeric
+    dtype string or None (drives numeric subsections).
+    """
+    config = config or {}
+    multiplier_iqr = float(config.get("multiplier_iqr", 1.5))
+    threshold_zscore = float(config.get("threshold_zscore", 3.0))
+    criterion = config.get("outliers_criterion", "IQR")
+
+    def _evaluate(cols: list[str]) -> list[ColumnEvaluation]:
+        if not cols:
+            return []
+        sub = aggregate[[TIME_INTERVAL_COL] + cols]
+        return evaluate_data(
+            sub, multiplier_iqr=multiplier_iqr,
+            threshold_zscore=threshold_zscore, outliers_criterion=criterion,
+        ).evaluations
+
+    title = config.get("report_title", "Data quality evaluation")
+    n_intervals = len(aggregate)
+    lo = aggregate[TIME_INTERVAL_COL].min()
+    hi = aggregate[TIME_INTERVAL_COL].max()
+
+    sections: list[tuple[str, str]] = []
+
+    overview_cols = [c for c in aggregate.columns if c.startswith(OVERVIEW_PREFIX)]
+    sections.append(("Overview", _stats_table(_evaluate(overview_cols))))
+
+    for col, dtype in metadata.items():
+        cols = [
+            c for c in aggregate.columns
+            if c.startswith(f"{COLUMN_PREFIX}{col} ")
+        ]
+        body = _stats_table(_evaluate(cols))
+        if dtype is not None:
+            num_cols = [
+                c for c in aggregate.columns
+                if c.startswith(f"{NUMERIC_PREFIX}{col} ")
+            ]
+            body += f"\n**Numeric statistics** (`{dtype}`)\n\n"
+            body += _stats_table(_evaluate(num_cols))
+        sections.append((f"Column `{col}`", body))
+
+    md = [f"# {title}\n"]
+    md.append(
+        f"_{n_intervals} time intervals, {lo} → {hi}; outlier criterion: "
+        f"{criterion} (IQR×{multiplier_iqr}, Z>{threshold_zscore})._\n"
+    )
+    md.append("## Contents\n")
+    for t, _ in sections:
+        md.append(f"- [{t}](#{_anchor(t)})")
+    md.append("")
+    for t, body in sections:
+        md.append(f"## {t}\n")
+        md.append(body)
+    content = "\n".join(md) + "\n"
+
+    if output_path:
+        os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
+        with open(output_path, "w") as fh:
+            fh.write(content)
+    return content
