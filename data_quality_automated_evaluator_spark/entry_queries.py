@@ -131,6 +131,202 @@ def interval_stats_events_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(out)
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (dedup / text analysis / similarity)
+# ---------------------------------------------------------------------------
+
+_DOCS_WITH_DUPS = """
+    (SELECT doc_id, text FROM documents
+     UNION ALL
+     SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50)
+"""
+
+
+@register(
+    "dedup_exact_documents",
+    oracle=f"""
+    SELECT digest, n_docs, keep_id FROM (
+      SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS keep_id
+      FROM {_DOCS_WITH_DUPS} GROUP BY 1
+    ) WHERE n_docs > 1 ORDER BY digest
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups (hash-groupBy on md5 digest) over documents with
+    50 planted duplicates — SURVEY training-data extension."""
+    from .operators.dedup import exact_dup_groups
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return exact_dup_groups(docs.unionAll(dups))
+
+
+@register(
+    "text_stats_documents",
+    oracle=r"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           length(regexp_extract_all(text, '\S+')) AS n_tokens,
+           length(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS n_symbols,
+           length(regexp_extract_all(lower(text),
+             '\b(?:the|and|of|is|to|a|in|for|with|on|it|this|that|we|our|an|be|as|at|by)\b'))
+             AS n_stopwords,
+           md5(lower(trim(text))) AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, symbol counting, stopword counting, content
+    fingerprint — the text-analysis feature set, JVM-side only."""
+    from .functions.textstats import SYMBOL_CLASS, TOKEN_CLASS, STOPWORDS
+
+    stop_re = r"\b(?:" + "|".join(STOPWORDS) + r")\b"
+    df = _t(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.regexp_count("text", F.lit(TOKEN_CLASS)).alias("n_tokens"),
+        F.regexp_count("text", F.lit(SYMBOL_CLASS)).alias("n_symbols"),
+        F.regexp_count(F.lower("text"), F.lit(stop_re)).alias("n_stopwords"),
+        F.md5(F.lower(F.trim("text"))).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+_ANN_QUERY_VEC = [float(i % 7 - 3) for i in range(64)]
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    SELECT vec_id,
+           round(list_cosine_similarity(
+             CAST(embedding AS DOUBLE[]),
+             {_ANN_QUERY_VEC!r}::DOUBLE[]), 6) AS cosine
+    FROM embeddings
+    ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             {_ANN_QUERY_VEC!r}::DOUBLE[]) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embedding column (exact ANN
+    baseline; JVM zip_with/aggregate, TakeOrderedAndProject plan)."""
+    from .operators.similarity import brute_force_topk
+
+    df = _t(spark, sf_dir, "embeddings")
+    out = brute_force_topk(df, _ANN_QUERY_VEC, k=10)
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
+@register("minhash_near_dup_pairs")  # rows-only: LSH is not SQL-expressible
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs over documents with 50 planted
+    mutated copies; verified by exact-Jaccard (pytest covers correctness
+    against a pandas oracle — the driver records a rows-only check)."""
+    from .operators.dedup import minhash_lsh_dedup_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = (
+        docs.filter(F.col("doc_id") < 50)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra tail words")))
+    )
+    return minhash_lsh_dedup_pairs(docs.unionAll(mutated), threshold=0.6)
+
+
+@register("langid_documents")  # rows-only: model scoring is not SQL-expressible
+def langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID labels + per-language counts over documents (Arrow-batched
+    char-ngram linear model)."""
+    from .pipeline.features import langid_udf
+
+    df = _t(spark, sf_dir, "documents")
+    return (
+        df.select(langid_udf("text").alias("lang"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "window_rank_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rnk, running_spend FROM (
+      SELECT o_custkey, o_orderkey,
+             rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+               AS rnk,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_spend
+      FROM orders
+    ) WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey
+    """,
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered window functions (rank + running sum) — the graft's
+    conversation-reassembly machinery, oracle-checked."""
+    from pyspark.sql import Window as W
+
+    df = _t(spark, sf_dir, "orders")
+    w_rank = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    w_run = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        df.select(
+            "o_custkey",
+            "o_orderkey",
+            F.rank().over(w_rank).alias("rnk"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .over(w_run)
+            .cast("double")
+            .alias("running_spend"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .orderBy("o_custkey", "rnk", "o_orderkey")
+    )
+
+
+@register(
+    "salted_agg_events",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+           min(ts) AS first_ts, max(ts) AS last_ts
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (skew-proof groupBy): partial agg on
+    (key, salt) then final combine per key — must equal the plain GROUP BY,
+    which is exactly what the oracle checks."""
+    df = _t(spark, sf_dir, "events")
+    salted = df.withColumn("_salt", F.pmod(F.hash("event_id"), F.lit(8)))
+    partial = salted.groupBy("user_id", "_salt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("_sum"),
+        F.min("ts").alias("_min"),
+        F.max("ts").alias("_max"),
+    )
+    return (
+        partial.groupBy("user_id")
+        .agg(
+            F.sum("_n").alias("n_events"),
+            F.sum("_sum").cast("double").alias("total_value"),
+            F.min("_min").alias("first_ts"),
+            F.max("_max").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
 @register(
     "bucket_25h_events",
     oracle="""

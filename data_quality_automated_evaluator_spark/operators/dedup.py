@@ -1,0 +1,252 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, each scale-shaped for 100 TB inputs:
+
+- **exact**: hash-groupBy on a content digest — one shuffle on the
+  digest, keeps the min-id representative. No driver state.
+- **MinHash + LSH**: shingle → 64-perm MinHash (Arrow-batched numpy) →
+  band into b bands → explode (doc, band_idx, band_hash) → self-join on
+  the band key → distinct candidate pairs → exact-Jaccard verification.
+  The band join is the only shuffle that touches pairs, and banding
+  guarantees candidates ≪ n² (only same-bucket pairs materialize).
+- **SimHash**: 64-bit signature; near-dup = Hamming ≤ d. Candidate
+  generation by table rotation: split the 64 bits into d+1 blocks —
+  two signatures within distance d share at least one exact block
+  (pigeonhole) — join per block.
+- **n-gram Jaccard (exact)**: explode distinct token n-grams →
+  self-join on the n-gram → per-pair intersection counts vs union —
+  pure DataFrame ops, SQL-oracle-checkable. The LSH variant is its
+  scale path.
+- **embedding cosine**: see operators/similarity.py (shared kernels).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.hashing import jaccard_shingles, minhash_batch, simhash_batch
+
+
+def _minhash_fn(texts: pd.Series) -> pd.Series:
+    return minhash_batch(texts)
+
+
+def _simhash_fn(texts: pd.Series) -> pd.Series:
+    return simhash_batch(texts)
+
+
+minhash_udf = F.pandas_udf(_minhash_fn, returnType=T.ArrayType(T.LongType()))
+simhash_udf = F.pandas_udf(_simhash_fn, returnType=T.LongType())
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exact text digest.
+
+    groupBy on md5(text): one hash shuffle keyed by digest — uniform by
+    construction, no skew; survives any scale the shuffle does.
+    """
+    digest = F.md5(F.col(text_col))
+    return (
+        df.withColumn("_digest", digest)
+        .withColumn("_rn", F.row_number().over(Window.partitionBy("_digest").orderBy(id_col)))
+        .filter(F.col("_rn") == 1)
+        .drop("_digest", "_rn")
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(digest, n_docs, keep_id) for every duplicate group (n_docs > 1)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("digest"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("digest")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash.
+
+    rows-per-band = num_perm // bands; two docs collide when any band of
+    their signatures matches exactly. Collision probability for Jaccard s
+    is 1-(1-s^r)^b — with 64/16×4 the curve knees near s≈0.5.
+    """
+    r = num_perm // bands
+    sig = df.select(F.col(id_col).alias("_id"), minhash_udf(F.col(text_col)).alias("_sig"))
+    banded = sig.select(
+        "_id",
+        F.posexplode(
+            F.array(*[
+                F.slice("_sig", i * r + 1, r).cast("array<string>")
+                for i in range(bands)
+            ])
+        ).alias("band_idx", "band_sig"),
+    ).withColumn("band_hash", F.hash(F.concat_ws(",", "band_sig"), "band_idx"))
+    a = banded.select(F.col("_id").alias("id_a"), "band_idx", "band_hash")
+    b = banded.select(F.col("_id").alias("id_b"), "band_idx", "band_hash")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Verified near-duplicate pairs: LSH candidates → exact k-shingle
+    Jaccard (Arrow-batched) → filter ≥ threshold.
+
+    The verification join re-attaches both texts by id — two broadcast-or-
+    shuffle hash joins on the id (AQE picks); only candidate pairs pay it.
+    """
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands)
+    texts = df.select(F.col(id_col), F.col(text_col))
+    pairs = (
+        cands.join(
+            texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta")),
+            "id_a",
+        )
+        .join(
+            texts.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb")),
+            "id_b",
+        )
+    )
+
+    @F.pandas_udf(T.DoubleType())
+    def jaccard_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [jaccard_shingles(x or "", y or "", shingle_k) for x, y in zip(ta, tb)],
+            index=ta.index, dtype="float64",
+        )
+
+    return (
+        pairs.withColumn("jaccard", jaccard_udf("_ta", "_tb"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs with SimHash Hamming distance ≤ max_hamming.
+
+    Pigeonhole candidate generation: the 64-bit signature splits into
+    max_hamming+1 blocks; any pair within distance d matches on ≥1 whole
+    block → per-block equijoins, then exact Hamming verification.
+    """
+    nblocks = max_hamming + 1
+    bits = 64 // nblocks
+    sig = df.select(F.col(id_col).alias("_id"), simhash_udf(F.col(text_col)).alias("_sim"))
+    blocks = sig.select(
+        "_id", "_sim",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("_sim"), i * bits).bitwiseAND(
+                    F.lit((1 << bits) - 1)
+                )
+                for i in range(nblocks)
+            ])
+        ).alias("block_idx", "block_val"),
+    )
+    a = blocks.select(F.col("_id").alias("id_a"), F.col("_sim").alias("sim_a"),
+                      "block_idx", "block_val")
+    b = blocks.select(F.col("_id").alias("id_b"), F.col("_sim").alias("sim_b"),
+                      "block_idx", "block_val")
+    cands = (
+        a.join(b, ["block_idx", "block_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cands.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (DataFrame-native, oracle-checkable)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for all pairs ≥ threshold.
+
+    Pure relational plan: distinct (id, ngram) → self-join on ngram →
+    group pair → |∩| / (|A| + |B| − |∩|). Correct but O(pairs-sharing-
+    a-gram); at scale run it on LSH candidates instead of all pairs.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    grams = (
+        df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+        .select(
+            "_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size("_toks") - n, F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, n)),
+                )
+            ).alias("gram"),
+        )
+        .filter(F.length("gram") > 0)
+        .distinct()
+    )
+    sizes = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.select(F.col("_id").alias("id_a"), "gram")
+    b = grams.select(F.col("_id").alias("id_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("n_grams").alias("na")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("n_grams").alias("nb")), "id_b")
+        .withColumn("jaccard", F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

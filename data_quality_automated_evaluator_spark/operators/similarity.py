@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (array<float>).
+
+- **Brute-force cosine top-k** (the correctness baseline): JVM-side
+  ``F.zip_with`` + ``F.aggregate`` dot products — no Python in the loop,
+  whole-stage codegen, embarrassingly parallel scan → top-k via
+  orderBy+limit (Spark plans TakeOrderedAndProject — no full sort).
+- **LSH-bucketed ANN** (the scale path): deterministic random-hyperplane
+  signs → bucket id; queries probe only their bucket (plus optional
+  multi-probe neighbors). Recall measured against brute force in tests.
+- **Pairwise near-duplicate embeddings**: all pairs with cosine ≥ t
+  via bucket-join prefilter, exact verification.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(v):
+    return F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+
+
+def cosine_col(a, b):
+    """Cosine similarity Column between two array<float/double> columns."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k for one query vector (ties broken by id).
+
+    The query rides the plan as a literal array (no join, no broadcast
+    needed); the scan is a single map stage + TakeOrderedAndProject.
+    """
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    sim = cosine_col(F.col(vec_col).cast("array<double>"), qlit)
+    return (
+        df.select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket_col(vec_col, planes: np.ndarray):
+    """Bucket id Column: sign bits against n fixed hyperplanes packed into
+    a long. Pure Catalyst (aggregate over array literals)."""
+    bits = []
+    for i, p in enumerate(planes):
+        plit = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(
+            F.when(_dot(vec_col, plit) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed: int = 42,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """ANN top-k via multi-table random-hyperplane LSH.
+
+    ``n_tables`` independent hash tables of ``n_planes`` sign bits each;
+    a row is a candidate when it matches the query's bucket (or one of
+    ``multiprobe`` lowest-margin single-bit flips) in ANY table — the
+    standard recall amplification (miss prob = miss^L). Exact cosine
+    then ranks candidates. At scale the bucket columns are precomputed
+    and the table is partitioned/bucketed by them, so one probe touches
+    only matching partitions instead of scanning."""
+    q = np.asarray(query, dtype=np.float64)
+    v = F.col(vec_col).cast("array<double>")
+    match = None
+    for t in range(n_tables):
+        planes = _hyperplanes(len(q), n_planes, seed + 101 * t)
+        qbits = (planes @ q >= 0).astype(np.int64)
+        qbucket = int((qbits << np.arange(n_planes)).sum())
+        buckets = {qbucket}
+        margins = np.abs(planes @ q)
+        for i in np.argsort(margins)[:multiprobe]:
+            buckets.add(qbucket ^ (1 << int(i)))
+        cond = lsh_bucket_col(v, planes).isin(list(buckets))
+        match = cond if match is None else (match | cond)
+
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    return (
+        df.filter(match)
+        .select(F.col(id_col), cosine_col(v, qlit).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    LSH-bucket equijoin prefilter (pairs in the same bucket), exact
+    cosine verification — near-dups at 0.95+ collide with high
+    probability on 8 planes; raise multiband variants for recall at
+    lower thresholds."""
+    v = F.col(vec_col).cast("array<double>")
+    bucketed = df.select(
+        F.col(id_col).alias("_id"), v.alias("_v"),
+        lsh_bucket_col(v, _hyperplanes_for(df, vec_col, n_planes, seed)).alias("_bucket"),
+    )
+    a = bucketed.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "_bucket")
+    b = bucketed.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "_bucket")
+    return (
+        a.join(b, "_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .distinct()
+    )
+
+
+def _hyperplanes_for(df: DataFrame, vec_col: str, n_planes: int, seed: int) -> np.ndarray:
+    dim = len(df.select(vec_col).first()[0])
+    return _hyperplanes(dim, n_planes, seed)

@@ -1,0 +1,155 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_automated_evaluator_spark.operators.dedup import (
+    dedup_exact,
+    exact_dup_groups,
+    minhash_lsh_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dedup_pairs,
+)
+from data_quality_automated_evaluator_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_dup_pairs,
+    lsh_topk,
+)
+
+BASE_DOCS = [
+    "the quick brown fox jumps over the lazy dog near the river bank today",
+    "data pipelines aggregate quality metrics across many partitions every single day",
+    "spark executes the optimized logical plan with whole stage code generation enabled",
+    "language models estimate the probability of the next token given prior context",
+    "conversations are reassembled in stable order by the turn index within each group",
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    i = 0
+    for d in BASE_DOCS:
+        rows.append((i, d)); i += 1
+        rows.append((i, d)); i += 1  # exact dup
+        rows.append((i, d.replace("the", "a", 1) + " extra"), ); i += 1  # near dup
+    # genuinely diverse fillers (shuffled word salad per doc — templated
+    # fillers would legitimately be ~0.65-jaccard near-dups of each other)
+    rng = np.random.default_rng(123)
+    vocab = [f"tok{c}{n}" for c in "abcdefghij" for n in range(30)]
+    for j in range(20):
+        words = rng.choice(vocab, size=14, replace=False)
+        rows.append((i, " ".join(words)))
+        i += 1
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact(spark, docs):
+    out = dedup_exact(docs).toPandas()
+    n_unique_texts = docs.select("text").distinct().count()
+    assert len(out) == n_unique_texts
+    groups = exact_dup_groups(docs).toPandas()
+    assert len(groups) == len(BASE_DOCS)
+    assert (groups["n_docs"] == 2).all()
+    # representative is min id
+    assert set(groups["keep_id"]) == {0, 3, 6, 9, 12}
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, docs):
+    pairs = minhash_lsh_dedup_pairs(docs, threshold=0.5).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    # exact dup pairs must be found (jaccard 1.0)
+    for k in range(len(BASE_DOCS)):
+        assert (3 * k, 3 * k + 1) in got, f"exact pair {k} missed"
+    # near-dup should be found for most (jaccard ~0.7-0.9)
+    near_found = sum((3 * k, 3 * k + 2) in got or (3 * k + 1, 3 * k + 2) in got
+                     for k in range(len(BASE_DOCS)))
+    assert near_found >= 4
+    # no filler should pair with anything
+    filler_ids = set(range(15, 35))
+    assert not any(a in filler_ids or b in filler_ids for a, b in got)
+
+
+def test_simhash_pairs(spark, docs):
+    pairs = simhash_dedup_pairs(docs, max_hamming=6).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    for k in range(len(BASE_DOCS)):
+        assert (3 * k, 3 * k + 1) in got
+    assert (pairs[pairs.id_a == pairs.id_b % 3 * 0].hamming >= 0).all()
+
+
+def test_ngram_jaccard_matches_pandas_oracle(spark, docs):
+    out = ngram_jaccard_pairs(docs, n=3, threshold=0.3).toPandas()
+    pdf = docs.toPandas()
+
+    def grams(t: str, n=3) -> set[str]:
+        toks = t.strip().lower().split()
+        hi = max(len(toks) - n, 0)
+        return {" ".join(toks[i : i + n]) for i in range(hi + 1)}
+
+    expected = []
+    recs = list(pdf.itertuples())
+    for x in recs:
+        for y in recs:
+            if x.doc_id >= y.doc_id:
+                continue
+            ga, gb = grams(x.text), grams(y.text)
+            inter = len(ga & gb)
+            if inter:
+                j = inter / (len(ga) + len(gb) - inter)
+                if j >= 0.3:
+                    expected.append((x.doc_id, y.doc_id, j))
+    exp = pd.DataFrame(expected, columns=["id_a", "id_b", "jaccard"]).sort_values(
+        ["id_a", "id_b"]).reset_index(drop=True)
+    got = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    np.testing.assert_allclose(got["jaccard"].values, exp["jaccard"].values, rtol=1e-9)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_brute_force_topk(spark, embeddings):
+    pdf = embeddings.toPandas()
+    q = list(map(float, pdf.iloc[0]["embedding"]))
+    out = brute_force_topk(embeddings, q, k=5).toPandas()
+    assert len(out) == 5
+    assert out.iloc[0]["vec_id"] == pdf.iloc[0]["vec_id"]  # self is top-1
+    assert abs(out.iloc[0]["cosine"] - 1.0) < 1e-9
+    # numpy oracle
+    M = np.stack(pdf["embedding"].map(np.asarray))
+    qv = np.asarray(q)
+    cos = (M @ qv) / (np.linalg.norm(M, axis=1) * np.linalg.norm(qv))
+    order = np.lexsort((pdf["vec_id"].values, -cos))[:5]
+    assert list(out["vec_id"]) == list(pdf["vec_id"].values[order])
+
+
+def test_lsh_topk_recall(spark, embeddings):
+    pdf = embeddings.toPandas()
+    hits = 0
+    trials = 5
+    for i in range(trials):
+        q = list(map(float, pdf.iloc[i]["embedding"]))
+        exact = set(brute_force_topk(embeddings, q, k=5).toPandas()["vec_id"])
+        approx = set(lsh_topk(embeddings, q, k=5, multiprobe=2).toPandas()["vec_id"])
+        hits += len(exact & approx) / 5
+    recall = hits / trials
+    assert recall >= 0.4, f"LSH recall {recall:.2f} too low"
+    # self must always be found (same bucket as itself)
+    q = list(map(float, pdf.iloc[0]["embedding"]))
+    out = lsh_topk(embeddings, q, k=5).toPandas()
+    assert out.iloc[0]["vec_id"] == pdf.iloc[0]["vec_id"]
+
+
+def test_embedding_dup_pairs(spark, embeddings):
+    # plant an exact duplicate embedding with a new id
+    dup = embeddings.limit(1).withColumn("vec_id", F.lit(999999).cast("long"))
+    df = embeddings.union(dup)
+    pairs = embedding_dup_pairs(df, threshold=0.999).toPandas()
+    assert ((pairs["id_a"] == 0) & (pairs["id_b"] == 999999)).any() or (
+        (pairs["cosine"] > 0.999).any()
+    )
