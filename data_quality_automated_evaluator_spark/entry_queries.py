@@ -131,6 +131,55 @@ def interval_stats_events_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(out)
 
 
+@register(
+    "null_semantics_events",
+    oracle="""
+    WITH e AS (
+      SELECT date_trunc('day', ts) AS bucket_day,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS et,
+             CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT bucket_day,
+           count(DISTINCT et) + max(CASE WHEN et IS NULL THEN 1 ELSE 0 END)
+             AS et_nunique,
+           round(avg(CASE WHEN et IS NULL THEN 1.0 ELSE 0.0 END), 6) AS et_null_ratio,
+           count(DISTINCT v) + max(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+             AS v_nunique,
+           round(avg(CASE WHEN v IS NULL THEN 1.0 ELSE 0.0 END), 6) AS v_null_ratio,
+           round(avg(v), 6) AS v_mean
+    FROM e GROUP BY 1 ORDER BY 1
+    """,
+)
+def null_semantics_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics parity gate: Polars n_unique counts NULL as a
+    distinct value (reference preprocess.py:216-217); Spark countDistinct
+    does not — n_unique_expr adds the indicator. Deterministic null
+    injection so the delta is actually exercised (the raw tables have
+    no nulls)."""
+    from .functions.aggregates import n_unique_expr, null_ratio_expr
+    from .functions.intervals import truncate_to_interval
+
+    df = _t(spark, sf_dir, "events").select(
+        truncate_to_interval(F.col("ts"), "1d").alias("bucket_day"),
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(F.col("event_type"))
+        .alias("et"),
+        F.when(F.col("event_id") % 11 == 0, None).otherwise(F.col("value")).alias("v"),
+    )
+    return (
+        df.groupBy("bucket_day")
+        .agg(
+            n_unique_expr("et").alias("et_nunique"),
+            F.round(null_ratio_expr("et"), 6).alias("et_null_ratio"),
+            n_unique_expr("v").alias("v_nunique"),
+            F.round(null_ratio_expr("v"), 6).alias("v_null_ratio"),
+            F.round(F.avg("v"), 6).alias("v_mean"),
+        )
+        .orderBy("bucket_day")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators (dedup / text analysis / similarity)
 # ---------------------------------------------------------------------------
