@@ -1,0 +1,171 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The Spark-side machinery is real and tested — schemas, Arrow batch
+shapes, ``mapInPandas`` signatures, partition sizing — while the codec
+step itself is stubbed: this container ships no image/audio libraries,
+so ``decode_image_meta`` parses only well-known header bytes
+(PNG/JPEG/GIF dimensions — pure Python, deterministic) and
+``extract_features``/``resize_image``/``sample_frames`` produce
+deterministic fakes behind clearly-marked seams. Swapping in Pillow /
+torchaudio / pyav changes ONE function body each; the distributed
+plumbing stays identical.
+
+Scale shape: binary payloads never shuffle — all multimodal transforms
+are map-only (``mapInPandas``), so the plan is scan → transform → sink
+with partition sizing controlled by ``spark.sql.files.maxPartitionBytes``.
+Metadata-only outputs project the binary away as early as possible.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, content binary, mime string, width int, height int"
+)
+
+IMAGE_META_SCHEMA = (
+    "media_id long, mime string, width int, height int, n_bytes long, sha256 string"
+)
+
+
+def decode_image_meta(content: bytes | None) -> tuple[str | None, int | None, int | None]:
+    """Header-only decode: (mime, width, height) for PNG/JPEG/GIF bytes.
+
+    Real decode seam — replace with Pillow for full decoding. Header
+    parsing is deterministic and dependency-free.
+    """
+    if not content:
+        return (None, None, None)
+    if content[:8] == b"\x89PNG\r\n\x1a\n" and len(content) >= 24:
+        w, h = struct.unpack(">II", content[16:24])
+        return ("image/png", int(w), int(h))
+    if content[:3] == b"GIF" and len(content) >= 10:
+        w, h = struct.unpack("<HH", content[6:10])
+        return ("image/gif", int(w), int(h))
+    if content[:2] == b"\xff\xd8":  # JPEG: scan for SOF0/SOF2 frame header
+        i = 2
+        while i + 9 < len(content):
+            if content[i] != 0xFF:
+                break
+            marker = content[i + 1]
+            seg_len = struct.unpack(">H", content[i + 2 : i + 4])[0]
+            if marker in (0xC0, 0xC2):
+                h, w = struct.unpack(">HH", content[i + 5 : i + 9])
+                return ("image/jpeg", int(w), int(h))
+            i += 2 + seg_len
+        return ("image/jpeg", None, None)
+    return ("application/octet-stream", None, None)
+
+
+def image_metadata(df: DataFrame, content_col: str = "content", id_col: str = "media_id") -> DataFrame:
+    """Map-only metadata extraction over a binary column via mapInPandas.
+
+    The binary column is consumed inside the batch iterator and never
+    leaves the stage — output is metadata-only.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [decode_image_meta(c) for c in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].values,
+                    "mime": [m[0] for m in metas],
+                    "width": pd.array([m[1] for m in metas], dtype="Int32"),
+                    "height": pd.array([m[2] for m in metas], dtype="Int32"),
+                    "n_bytes": [len(c) if c is not None else 0 for c in pdf[content_col]],
+                    "sha256": [
+                        hashlib.sha256(c).hexdigest() if c is not None else None
+                        for c in pdf[content_col]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(_batches, schema=IMAGE_META_SCHEMA)
+
+
+FEATURE_DIM = 16
+
+
+def extract_features(df: DataFrame, content_col: str = "content", id_col: str = "media_id") -> DataFrame:
+    """Deterministic fake feature extraction (STUB for a real vision/audio
+    encoder): 16 floats derived from the content digest. The batching,
+    schema, and scale shape are exactly what a real encoder UDF uses
+    (model weights would be broadcast; batches sized by Arrow limits)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for c in pdf[content_col]:
+                if c is None:
+                    feats.append([0.0] * FEATURE_DIM)
+                    continue
+                digest = hashlib.sha256(c).digest()
+                arr = np.frombuffer(digest[: FEATURE_DIM * 2], dtype=np.uint16)
+                feats.append((arr.astype(np.float64) / 65535.0).tolist())
+            yield pd.DataFrame({"media_id": pdf[id_col].values, "features": feats})
+
+    return df.mapInPandas(_batches, schema="media_id long, features array<double>")
+
+
+def resize_image(df: DataFrame, width: int, height: int,
+                 content_col: str = "content", id_col: str = "media_id") -> DataFrame:
+    """Resize seam — STUB: raises at execution time until a codec library
+    is installed. The plan-side contract (schema, map-only shape) is real."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "image resize requires a codec library (e.g. Pillow); "
+            "install it and replace this stub body with Image.resize"
+        )
+        yield  # pragma: no cover
+
+    return df.mapInPandas(_batches, schema="media_id long, content binary")
+
+
+def sample_frames(df: DataFrame, every_n: int = 30,
+                  content_col: str = "content", id_col: str = "media_id") -> DataFrame:
+    """Video frame sampling seam — STUB (needs pyav/ffmpeg): deterministic
+    fake emits frame INDEX rows (the real implementation yields decoded
+    frame bytes with the same schema + frame_idx)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"media_id": [], "frame_idx": [], "frame_sha": []}
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                n_fake_frames = (len(c) // 1000 if c is not None else 0) + 1
+                for k in range(0, n_fake_frames, every_n):
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(k)
+                    h = hashlib.sha256((c or b"") + str(k).encode()).hexdigest()
+                    rows["frame_sha"].append(h)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(_batches, schema="media_id long, frame_idx int, frame_sha string")
+
+
+def make_fake_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic synthetic media table: tiny valid PNG/GIF headers +
+    opaque payloads (for tests; no codec needed)."""
+    rows = []
+    for i in range(n):
+        if i % 3 == 0:
+            w, h = 16 + i, 9 + i
+            content = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8 + struct.pack(">II", w, h) + bytes([i % 251]) * 100
+            rows.append((i, "image", content, "image/png", w, h))
+        elif i % 3 == 1:
+            w, h = 32 + i, 18 + i
+            content = b"GIF89a" + struct.pack("<HH", w, h) + bytes([i % 251]) * 50
+            rows.append((i, "image", content, "image/gif", w, h))
+        else:
+            rows.append((i, "video", bytes([i % 251]) * (1000 * (i % 5 + 1)), "video/fake", None, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,120 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_automated_evaluator_spark.operators.multimodal import (
+    FEATURE_DIM,
+    decode_image_meta,
+    extract_features,
+    image_metadata,
+    make_fake_media,
+    resize_image,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return make_fake_media(spark, n=30)
+
+
+def test_decode_image_meta_headers():
+    import struct
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8 + struct.pack(">II", 640, 480)
+    assert decode_image_meta(png) == ("image/png", 640, 480)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200)
+    assert decode_image_meta(gif) == ("image/gif", 320, 200)
+    assert decode_image_meta(None) == (None, None, None)
+    assert decode_image_meta(b"garbage") == ("application/octet-stream", None, None)
+
+
+def test_image_metadata_mapinpandas(spark, media):
+    out = image_metadata(media).toPandas().set_index("media_id")
+    src = media.toPandas().set_index("media_id")
+    for mid, row in out.iterrows():
+        if src.loc[mid, "kind"] == "image":
+            assert row["width"] == src.loc[mid, "width"]
+            assert row["height"] == src.loc[mid, "height"]
+        assert row["n_bytes"] == len(src.loc[mid, "content"])
+        assert isinstance(row["sha256"], str) and len(row["sha256"]) == 64
+
+
+def test_extract_features_deterministic(spark, media):
+    a = extract_features(media).toPandas().set_index("media_id")["features"]
+    b = extract_features(media).toPandas().set_index("media_id")["features"]
+    for mid in a.index:
+        assert len(a[mid]) == FEATURE_DIM
+        assert list(a[mid]) == list(b[mid])
+        assert all(0.0 <= x <= 1.0 for x in a[mid])
+
+
+def test_resize_is_explicit_stub(spark, media):
+    with pytest.raises(Exception, match="(?i)codec|NotImplemented"):
+        resize_image(media, 64, 64).collect()
+
+
+def test_sample_frames_shape(spark, media):
+    out = sample_frames(media.filter(F.col("kind") == "video"), every_n=2).toPandas()
+    assert len(out) > 0
+    assert set(out.columns) == {"media_id", "frame_idx", "frame_sha"}
+    assert (out["frame_idx"] % 2 == 0).all()
+
+
+def test_streaming_quality(spark, tmp_path):
+    """Drive the streaming pipeline with a file source → memory sink."""
+    from data_quality_automated_evaluator_spark.streaming.quality_stream import (
+        STATELESS_RULES,
+        streaming_interval_stats,
+        streaming_turn_quality,
+    )
+    from data_quality_automated_evaluator_spark.testdata import generate_transcripts
+
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+    pdf = generate_transcripts(n_convs=100, seed=11)
+    sdf = spark.createDataFrame(pdf)
+    sdf.coalesce(2).write.mode("overwrite").parquet(str(src_dir))
+
+    stream = spark.readStream.schema(sdf.schema).parquet(str(src_dir))
+    assert stream.isStreaming
+    quality = streaming_turn_quality(stream)
+
+    q = (
+        quality.select("conv_id", "turn_idx", "keep_turn", *STATELESS_RULES)
+        .writeStream.format("memory")
+        .queryName("turns_q")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from turns_q").toPandas()
+    assert len(got) == len(pdf)
+    assert got["keep_turn"].notna().all()
+
+    # windowed stats stream (complete mode into memory)
+    stats = streaming_interval_stats(streaming_turn_quality(stream))
+    q2 = (
+        stats.writeStream.format("memory")
+        .queryName("stats_q")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    st = spark.sql("select * from stats_q").toPandas()
+    assert len(st) > 10  # many daily windows
+    assert (st["n_turns"] > 0).all()
+    assert st["keep_rate"].between(0, 1).all()
+
+    # batch-parity: streaming stateless keep equals batch stateless keep
+    from data_quality_automated_evaluator_spark.pipeline.oracle import oracle_quality
+
+    o = oracle_quality(pdf)
+    o_keep = o[STATELESS_RULES].all(axis=1)
+    got_s = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert (got_s["keep_turn"].values == o_keep.values).mean() > 0.999
