@@ -132,6 +132,147 @@ def interval_stats_events_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "interval_stats_events_1h",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket_hour,
+           count(*) AS n_values,
+           count(DISTINCT event_type) AS et_nunique,
+           round(min(value), 6) AS v_min,
+           round(max(value), 6) AS v_max
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def interval_stats_events_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 at hourly granularity (reference time_interval='1h')."""
+    from .functions.intervals import truncate_to_interval
+
+    df = _t(spark, sf_dir, "events")
+    return (
+        df.groupBy(truncate_to_interval(F.col("ts"), "1h").alias("bucket_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.countDistinct("event_type").alias("et_nunique"),
+            F.round(F.min("value"), 6).alias("v_min"),
+            F.round(F.max("value"), 6).alias("v_max"),
+        )
+        .orderBy("bucket_hour")
+    )
+
+
+@register(
+    "string_date_cast_orders",
+    oracle="""
+    WITH o AS (
+      SELECT strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ts_str, o_totalprice
+      FROM orders
+    )
+    SELECT CAST(CAST(strptime(ts_str, '%Y-%m-%d %H:%M:%S') AS DATE) AS TIMESTAMP) AS d,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM o GROUP BY 1 ORDER BY 1
+    """,
+)
+def string_date_cast_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/D2: strict string→date parsing through the strptime shim
+    (DATE(col, '%Y-%m-%d %H:%M:%S') reference dialect)."""
+    from .operators.preprocess import apply_transformations
+
+    df = _t(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "o_totalprice",
+    )
+    df = apply_transformations(df, {"d": "DATE(ts_str, '%Y-%m-%d %H:%M:%S')"})
+    df = df.withColumn("d", F.col("d").cast("timestamp"))
+    return (
+        df.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total"),
+        )
+        .orderBy("d")
+    )
+
+
+@register(
+    "revenue_by_region_daily",
+    oracle="""
+    SELECT date_trunc('day', o.o_orderdate) AS bucket_day,
+           r.r_name AS region,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def revenue_by_region_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join chain with explicit broadcasts of the small dims
+    (customer/nation/region) — no shuffle on the fact table for the join,
+    only the final groupBy exchanges. The graft's dim-enrichment shape."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    from .functions.intervals import truncate_to_interval
+
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.groupBy(
+            truncate_to_interval(F.col("o_orderdate"), "1d").alias("bucket_day"),
+            F.col("r_name").alias("region"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("revenue"),
+        )
+        .orderBy("bucket_day", "region")
+    )
+
+
+@register(
+    "quality_rules_documents",
+    oracle=r"""
+    WITH f AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             length(regexp_extract_all(text, '\S+')) AS n_tokens,
+             length(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS n_symbols,
+             length(list_distinct(regexp_extract_all(lower(trim(text)), '\S+')))
+               AS n_distinct
+      FROM documents
+    )
+    SELECT doc_id,
+           (n_chars >= 1 AND n_chars <= 8000) AS r_len,
+           (CASE WHEN n_chars > 0 THEN CAST(n_symbols AS DOUBLE)/n_chars ELSE 0 END <= 0.30)
+             AS r_symbol,
+           (n_tokens < 10 OR CAST(n_distinct AS DOUBLE)/n_tokens >= 0.30) AS r_repetition
+    FROM f ORDER BY doc_id
+    """,
+)
+def quality_rules_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The heuristic per-turn rules (length / symbol-ratio / repetition)
+    applied to the documents table — SQL-oracle-checked end to end."""
+    from .functions.textstats import with_text_features
+    from .pipeline.rules import Thresholds, rule_columns
+
+    t = Thresholds()
+    df = with_text_features(_t(spark, sf_dir, "documents"))
+    rules = rule_columns(t)
+    return df.select(
+        "doc_id",
+        rules["r_len"].alias("r_len"),
+        rules["r_symbol"].alias("r_symbol"),
+        rules["r_repetition"].alias("r_repetition"),
+    ).orderBy("doc_id")
+
+
+@register(
     "null_semantics_events",
     oracle="""
     WITH e AS (
