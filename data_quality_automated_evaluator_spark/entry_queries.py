@@ -44,6 +44,22 @@ def _round_doubles(df: DataFrame, digits: int = 6) -> DataFrame:
     return df.select(*exprs)
 
 
+@register("quality_pipeline_transcripts")  # rows-only: needs the transcripts
+def quality_pipeline_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship graft pipeline end-to-end on a deterministic
+    transcripts table (seed=42 generator — BASELINE input_hint shape):
+    langid + perplexity + heuristics + conversation window + scrub →
+    per-turn keep/drop labels. Correctness is gated by the pytest golden
+    suite (F1 + byte-exact vs the pandas oracle); the driver records the
+    rows-only check here."""
+    from .pipeline.quality import labels_frame, run_quality_pipeline
+    from .testdata import generate_transcripts
+
+    pdf = generate_transcripts(n_convs=400, seed=42)
+    df = spark.createDataFrame(pdf)
+    return labels_frame(run_quality_pipeline(df)).orderBy("conv_id", "turn_idx")
+
+
 # ---------------------------------------------------------------------------
 # Evaluator core: D1 interval bucketing + A1-A10 single-pass stats
 # ---------------------------------------------------------------------------

@@ -156,4 +156,8 @@ def make_preprocessing(
         approx_distinct=bool(config.get("approx_distinct", False)),
     )
     agg = df.groupBy(TIME_INTERVAL_COL).agg(*plan.exprs).orderBy(TIME_INTERVAL_COL)
+    if config.get("explain"):
+        # reference keeps a commented lf_agg.explain() hook (preprocess.py:70);
+        # here it's a config flag
+        agg.explain("formatted")
     return PreprocessResult(aggregate=agg, metadata=plan.metadata, plan=plan)
