@@ -99,29 +99,29 @@ def perplexity_batch(texts: pd.Series) -> pd.Series:
         starts[1:] = np.cumsum(lens[:-1] + 1)
     ends = starts + lens  # exclusive
 
-    # bigram j covers bytes (j, j+1); zero out the two bigrams touching each
-    # inter-string separator byte so strings don't leak into each other
+    # bigram j covers bytes (j, j+1); drop the two bigrams touching each
+    # inter-string separator byte so strings don't leak into each other.
+    # COMPACT the valid bigrams before summing: each segment must contain
+    # exactly the string's own bigrams, or numpy's pairwise summation tree
+    # (whose shape depends on segment length) makes scores depend on batch
+    # layout — batch-boundary invariance is a hard requirement (the oracle
+    # and Spark see different Arrow batch sizes).
+    nbig = np.maximum(lens - 1, 0)
+    sums = np.zeros(n, dtype=np.float64)
+    nonzero = nbig > 0
     if len(codes) >= 2:
         valid = np.ones(len(codes) - 1, dtype=bool)
         sep_pos = ends[:-1] if n > 1 else np.array([], dtype=np.int64)
         if len(sep_pos):
             left = sep_pos - 1
             valid[left[left >= 0]] = False  # (last char, separator)
-            valid[sep_pos[sep_pos < len(valid)]] = False  # (separator, next first char)
-        lp = _LOGP[codes[:-1], codes[1:]] * valid
-    else:
-        lp = np.zeros(0, dtype=np.float64)
-
-    # per-string bigram count and log-prob sum via reduceat over [start, end-1)
-    nbig = np.maximum(lens - 1, 0)
-    sums = np.zeros(n, dtype=np.float64)
-    nonzero = nbig > 0
-    if lp.size:
-        # reduceat needs sorted unique offsets; handle zero-length segments
-        idx = starts[nonzero]
+            valid[sep_pos[sep_pos < len(valid)]] = False  # (separator, next char)
+        lp = _LOGP[codes[:-1], codes[1:]][valid]
+        offsets = np.zeros(n, dtype=np.int64)
+        np.cumsum(nbig[:-1], out=offsets[1:])
+        idx = offsets[nonzero]
         if idx.size:
-            seg = np.add.reduceat(lp, idx)
-            sums[nonzero] = seg
+            sums[nonzero] = np.add.reduceat(lp, idx)
     ppl = np.full(n, PPL_MAX, dtype=np.float64)
     ppl[nonzero] = np.exp(-sums[nonzero] / nbig[nonzero])
     ppl = np.minimum(ppl, PPL_MAX)
