@@ -631,3 +631,73 @@ def filter_transform_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_day")
     )
+
+
+@register(
+    "reassemble_events_by_user",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS trace,
+           min(ts) AS first_ts, max(ts) AS last_ts
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def reassemble_events_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map reassembly (applyInPandas) oracle-checked end-to-end:
+    each user's events delivered as one ordered pandas frame (the exact
+    mechanism conversation reassembly uses on `conv_id`), rendered to an
+    ordered trace string — equals DuckDB's string_agg(... ORDER BY)."""
+    import pandas as pd
+
+    def _trace(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": pdf["user_id"].iloc[0],
+                    "n_events": len(pdf),
+                    "trace": ">".join(pdf["event_type"].astype(str)),
+                    "first_ts": pdf["ts"].min(),
+                    "last_ts": pdf["ts"].max(),
+                }
+            ]
+        )
+
+    df = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    return (
+        df.groupBy("user_id")
+        .applyInPandas(
+            _trace,
+            schema="user_id bigint, n_events bigint, trace string, "
+            "first_ts timestamp, last_ts timestamp",
+        )
+        .orderBy("user_id")
+    )
+
+
+@register("ivf_ann_topk")  # rows-only: k-means cell routing is not SQL-expressible
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (spherical k-means cells, n_probe nearest cells
+    scanned, exact cosine re-rank). Recall vs brute force is gated in
+    pytest; the driver records a rows-only check."""
+    from .operators.similarity import ivf_topk
+
+    df = _t(spark, sf_dir, "embeddings")
+    out = ivf_topk(df, _ANN_QUERY_VEC, k=10, n_probe=4, n_centroids=8)
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
+@register("simhash_near_dup_pairs")  # rows-only: bitwise simhash blocks
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (pigeonhole block join on hash bands,
+    Hamming-distance verify) over documents with planted mutated copies."""
+    from .operators.dedup import simhash_dedup_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = (
+        docs.filter(F.col("doc_id") < 50)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    )
+    return simhash_dedup_pairs(docs.unionAll(mutated), max_hamming=6)

@@ -14,6 +14,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -155,3 +156,107 @@ def embedding_dup_pairs(
 def _hyperplanes_for(df: DataFrame, vec_col: str, n_planes: int, seed: int) -> np.ndarray:
     dim = len(df.select(vec_col).first()[0])
     return _hyperplanes(dim, n_planes, seed)
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the partition-pruned scale path
+# --------------------------------------------------------------------------
+
+def train_ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means centroids from a deterministic sample.
+
+    The sample (``orderBy(id).limit(sample_rows)``) is collected to the
+    driver and Lloyd-iterated in numpy — centroid training is O(sample ×
+    dim × k), never a cluster job. Deterministic: fixed seed, fixed
+    sample order. Returns unit-norm centroids, shape (k, dim)."""
+    rows = (
+        df.orderBy(id_col).limit(sample_rows)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .toPandas()["v"].tolist()
+    )
+    X = np.asarray(rows, dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    X = X / norms
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                s = members.sum(axis=0)
+                n = np.linalg.norm(s)
+                if n > 0:
+                    C[c] = s / n
+    return C
+
+
+def ivf_cell_udf(centroids: np.ndarray):
+    """Arrow-batched cell assignment: argmax cosine against the (small)
+    centroid matrix. One matmul per batch — no per-row Python."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(vecs.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return pd.Series(np.argmax((X / norms) @ C.T, axis=1).astype(np.int32))
+
+    return _assign
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray,
+               vec_col: str = "embedding", cell_col: str = "ivf_cell") -> DataFrame:
+    """Add the IVF cell column. At scale this runs ONCE at ingest and the
+    table is written ``partitionedBy(ivf_cell)`` — a probe then prunes to
+    n_probe partitions at the source instead of scanning."""
+    return df.withColumn(
+        cell_col, ivf_cell_udf(centroids)(F.col(vec_col).cast("array<double>"))
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 3,
+    centroids: np.ndarray | None = None,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k via IVF: score only rows whose cell is among the query's
+    ``n_probe`` nearest centroids, then exact-cosine rank.
+
+    Plan: scan → ArrowEvalPython(cell) → Filter(cell IN probes) → map
+    cosine → TakeOrderedAndProject. With a pre-assigned ``ivf_cell``
+    partition column the ArrowEvalPython disappears and the filter
+    becomes partition pruning (touch n_probe/k of the data)."""
+    C = centroids if centroids is not None else train_ivf_centroids(
+        df, n_centroids=n_centroids, vec_col=vec_col, id_col=id_col, seed=seed
+    )
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    probes = np.argsort(-(C @ (q / (qn or 1.0))))[:n_probe].tolist()
+    cells = ivf_assign(df, C, vec_col=vec_col)
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        cells.filter(F.col("ivf_cell").isin(probes))
+        .select(F.col(id_col), cosine_col(v, qlit).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )

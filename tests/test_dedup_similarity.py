@@ -145,6 +145,50 @@ def test_lsh_topk_recall(spark, embeddings):
     assert out.iloc[0]["vec_id"] == pdf.iloc[0]["vec_id"]
 
 
+def test_ivf_all_probes_is_exact(spark, embeddings):
+    """Probing every IVF cell must reproduce brute force exactly — the
+    cells partition the data, so the only approximation is probe count."""
+    from data_quality_automated_evaluator_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    pdf = embeddings.toPandas()
+    q = list(map(float, pdf.iloc[3]["embedding"]))
+    C = train_ivf_centroids(embeddings, n_centroids=8)
+    exact = brute_force_topk(embeddings, q, k=5).toPandas()
+    full = ivf_topk(embeddings, q, k=5, n_probe=8, centroids=C).toPandas()
+    assert list(full["vec_id"]) == list(exact["vec_id"])
+    np.testing.assert_allclose(full["cosine"].values, exact["cosine"].values,
+                               rtol=1e-9)
+
+
+def test_ivf_partial_probe_recall(spark, embeddings):
+    from data_quality_automated_evaluator_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    pdf = embeddings.toPandas()
+    C = train_ivf_centroids(embeddings, n_centroids=8)
+    # cells cover every row with ids in range
+    cells = ivf_assign(embeddings, C).toPandas()
+    assert cells["ivf_cell"].between(0, 7).all()
+    assert len(cells) == len(pdf)
+
+    hits, trials, k = 0.0, 4, 5
+    for i in range(trials):
+        q = list(map(float, pdf.iloc[i]["embedding"]))
+        exact = set(brute_force_topk(embeddings, q, k=k).toPandas()["vec_id"])
+        approx = set(
+            ivf_topk(embeddings, q, k=k, n_probe=3, centroids=C).toPandas()["vec_id"]
+        )
+        assert pdf.iloc[i]["vec_id"] in approx  # self's cell is always probed
+        hits += len(exact & approx) / k
+    assert hits / trials >= 0.5, f"IVF recall {hits / trials:.2f} too low"
+
+
 def test_embedding_dup_pairs(spark, embeddings):
     # plant an exact duplicate embedding with a new id
     dup = embeddings.limit(1).withColumn("vec_id", F.lit(999999).cast("long"))
