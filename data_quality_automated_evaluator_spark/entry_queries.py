@@ -438,19 +438,14 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding-cosine near-duplicate pairs (brute-force self-join —
-    the verification baseline for the LSH-bucketed variant)."""
-    from .operators.similarity import cosine_col
+    """Exact embedding-cosine near-duplicate pairs — broadcast-matmul
+    formulation (one numpy matmul per Arrow batch instead of an
+    interpreted per-pair expression; see similarity.exact_cosine_pairs)."""
+    from .operators.similarity import exact_cosine_pairs
 
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    e = _t(spark, sf_dir, "embeddings")
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
-        .filter(F.col("cosine") >= 0.5)
+        exact_cosine_pairs(e, threshold=0.5)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .orderBy("id_a", "id_b")
     )

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.hashing import jaccard_shingles, minhash_batch, simhash_batch
+from ..functions.hashing import jaccard_pairs_batch, minhash_batch, simhash_batch
 
 
 def _minhash_fn(texts: pd.Series) -> pd.Series:
@@ -102,6 +102,10 @@ def minhash_lsh_candidates(
             ])
         ).alias("band_idx", "band_sig"),
     ).withColumn("band_hash", F.hash(F.concat_ws(",", "band_sig"), "band_idx"))
+    # self-join below branches this plan twice; without materialization the
+    # MinHash UDF runs once PER BRANCH. At scale signatures get written to
+    # their own table; in-process, persist is the same move.
+    banded = banded.persist()
     a = banded.select(F.col("_id").alias("id_a"), "band_idx", "band_hash")
     b = banded.select(F.col("_id").alias("id_b"), "band_idx", "band_hash")
     return (
@@ -142,10 +146,7 @@ def minhash_lsh_dedup_pairs(
 
     @F.pandas_udf(T.DoubleType())
     def jaccard_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        return pd.Series(
-            [jaccard_shingles(x or "", y or "", shingle_k) for x, y in zip(ta, tb)],
-            index=ta.index, dtype="float64",
-        )
+        return jaccard_pairs_batch(ta, tb, shingle_k)
 
     return (
         pairs.withColumn("jaccard", jaccard_udf("_ta", "_tb"))
@@ -173,6 +174,8 @@ def simhash_dedup_pairs(
     nblocks = max_hamming + 1
     bits = 64 // nblocks
     sig = df.select(F.col(id_col).alias("_id"), simhash_udf(F.col(text_col)).alias("_sim"))
+    # persisted for the same branch-twice reason as minhash_lsh_candidates
+    sig = sig.persist()
     blocks = sig.select(
         "_id", "_sim",
         F.posexplode(

@@ -158,6 +158,56 @@ def _hyperplanes_for(df: DataFrame, vec_col: str, n_planes: int, seed: int) -> n
     return _hyperplanes(dim, n_planes, seed)
 
 
+def exact_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold, broadcast-matmul formulation.
+
+    The naive self-join evaluates an interpreted zip_with/aggregate per
+    PAIR — O(n²·d) Catalyst expression work (measured 139 s on 2 000
+    vectors). Here the normalized matrix is broadcast once (a
+    broadcast-hash-join build side in spirit: must fit in executor
+    memory, which is exactly the regime where an exact baseline makes
+    sense — the scale path is :func:`embedding_dup_pairs`), and each
+    Arrow batch of the probe side does ONE numpy matmul, emitting only
+    the (id_a < id_b, cos ≥ t) survivors. Cost: O(n²·d) SIMD flops, no
+    pair-wise shuffle at all.
+    """
+    pdf = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    ).toPandas()
+    ids = pdf["_id"].to_numpy(dtype=np.int64)
+    M = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
+    norms = np.linalg.norm(M, axis=1)
+    norms[norms == 0] = 1.0
+    Mn = M / norms[:, None]
+    bcast = df.sparkSession.sparkContext.broadcast((ids, Mn))
+    thr = float(threshold)
+
+    def gen(batches):
+        ids_b, Mn_b = bcast.value
+        for pin in batches:
+            X = np.asarray(pin["_v"].tolist(), dtype=np.float64)
+            xn = np.linalg.norm(X, axis=1)
+            xn[xn == 0] = 1.0
+            S = (X / xn[:, None]) @ Mn_b.T
+            rid = pin["_id"].to_numpy(dtype=np.int64)
+            ii, jj = np.nonzero(S >= thr)
+            keep = rid[ii] < ids_b[jj]
+            ii, jj = ii[keep], jj[keep]
+            yield pd.DataFrame(
+                {"id_a": rid[ii], "id_b": ids_b[jj], "cosine": S[ii, jj]}
+            )
+
+    probe = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    return probe.mapInPandas(gen, schema="id_a long, id_b long, cosine double")
+
+
 # --------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the partition-pruned scale path
 # --------------------------------------------------------------------------

@@ -10,10 +10,28 @@ from hypothesis import strategies as st
 from data_quality_automated_evaluator_spark.functions.intervals import parse_interval
 from data_quality_automated_evaluator_spark.functions.perplexity import perplexity_batch
 from data_quality_automated_evaluator_spark.functions.scrub import scrub_batch, scrub_text
-from data_quality_automated_evaluator_spark.functions.langid import langid_label
+from data_quality_automated_evaluator_spark.functions.langid import (
+    langid_frame,
+    langid_frame_regex,
+    langid_label,
+)
 
 TEXT = st.text(
     alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=300
+)
+
+# the numpy backend treats every non-ASCII byte as a \b word character
+# (the overwhelmingly common case: accented letters); parity with the
+# regex spec is over text whose non-ASCII chars ARE word characters.
+REALISTIC_TEXT = st.text(
+    alphabet=(
+        "abcdefghijklmnopqrstuvwxyz ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        "0123456789 .,!?'\"-:;()@#\n\t"
+        "éèêàâçùûîôœÉÈÀÜÄÖäöüß"
+        "приветмирЯЁё天好公园散步の"
+    ),
+    min_size=0,
+    max_size=300,
 )
 
 
@@ -49,6 +67,26 @@ def test_perplexity_total_and_batch_invariant(texts):
     if half:
         p2 = pd.concat([perplexity_batch(s.iloc[:half]), perplexity_batch(s.iloc[half:])])
         assert (p.values == p2.values).all()
+
+
+@given(st.lists(REALISTIC_TEXT, min_size=1, max_size=20))
+@settings(max_examples=50, deadline=None)
+def test_langid_numpy_matches_regex_spec(texts):
+    """The vectorized byte-domain backend must reproduce the regex spec
+    exactly: same weighted feature counts, same labels."""
+    s = pd.Series(texts, dtype=object)
+    a, b = langid_frame(s), langid_frame_regex(s)
+    for c in a.columns:
+        assert (a[c].values == b[c].values).all(), c
+
+
+def test_langid_backends_match_on_transcripts():
+    from data_quality_automated_evaluator_spark.testdata import generate_transcripts
+
+    texts = generate_transcripts(n_convs=800, seed=3)["text"]
+    a, b = langid_frame(texts), langid_frame_regex(texts)
+    for c in a.columns:
+        assert (a[c].values == b[c].values).all(), c
 
 
 @given(st.lists(TEXT, min_size=1, max_size=20))
