@@ -31,7 +31,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "240000"))
-SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "60000"))
+# scaling measurement input: after the scoring-core speedups a 60k-conv
+# input finishes in ~6 s at 8 cores and fixed overheads (JVM stages,
+# Arrow spin-up, shuffle setup) eat the efficiency signal; ~1.5M turns
+# keeps every level in Python-bound steady state while two interleaved
+# passes stay affordable.
+SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "120000"))
 _HERE = os.path.dirname(os.path.abspath(__file__))
 BENCH_DATA = os.path.join(_HERE, ".bench_data", f"transcripts_{BENCH_CONVS}.parquet")
 SCALE_DATA = os.path.join(_HERE, ".bench_data", f"transcripts_{SCALE_CONVS}.parquet")
@@ -108,19 +113,55 @@ def _run_pipeline(spark, path: str) -> tuple[float, int]:
         shutil.rmtree(out_root, ignore_errors=True)
 
 
-def _pinned_steady_sec(cores: int, path: str) -> float:
+def _pinned_worker_cmd(cpu_range: str, cores: int, path: str, runs: int) -> list[str]:
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_worker.py")
+    return ["taskset", "-c", cpu_range, sys.executable, worker,
+            str(cores), path, str(runs)]
+
+
+def _parse_result(stdout: str, stderr: str) -> float:
+    for line in stdout.splitlines():
+        if line.startswith("RESULT "):
+            return float(line.split()[1])
+    raise RuntimeError(f"bench worker failed: {stdout[-500:]} {stderr[-2000:]}")
+
+
+def _pinned_steady_sec(cores: int, path: str, runs: int = 2) -> float:
     """Run bench_worker.py under ``taskset -c 0..cores-1`` so JVM + Python
     workers together get exactly ``cores`` physical CPUs (the honest N-core
     cluster proxy), and parse its steady-state seconds."""
     import subprocess
 
-    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_worker.py")
-    cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, worker, str(cores), path]
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
-    for line in out.stdout.splitlines():
-        if line.startswith("RESULT "):
-            return float(line.split()[1])
-    raise RuntimeError(f"bench worker failed: {out.stdout[-500:]} {out.stderr[-2000:]}")
+    out = subprocess.run(
+        _pinned_worker_cmd(f"0-{cores - 1}", cores, path, runs),
+        capture_output=True, text=True, timeout=900,
+    )
+    return _parse_result(out.stdout, out.stderr)
+
+
+def _concurrent_pair_secs(path: str) -> tuple[float, float]:
+    """The N vs 4N measurement: the SAME job at 2 pinned cores (cpus 0-1)
+    and 8 pinned cores (cpus 2-9) run SIMULTANEOUSLY on disjoint CPU sets.
+
+    This VM's effective CPU speed drifts by tens of percent minute to
+    minute (hypervisor steal); sequential runs therefore compare hardware
+    weather, not the pipeline. Concurrent disjoint-pinned runs see the
+    same weather by construction. Run counts are sized so both workers'
+    timed windows overlap (~2 min each).
+    """
+    import subprocess
+
+    p2 = subprocess.Popen(
+        _pinned_worker_cmd("0-1", 2, path, 2),
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    p8 = subprocess.Popen(
+        _pinned_worker_cmd("2-9", 8, path, 8),
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    out8, err8 = p8.communicate(timeout=900)
+    out2, err2 = p2.communicate(timeout=900)
+    return _parse_result(out2, err2), _parse_result(out8, err8)
 
 
 
@@ -160,21 +201,30 @@ def main() -> None:
         n_scale = duckdb.sql(
             f"select count(*) from '{scale_path}'"
         ).fetchone()[0]
-        # same job, same input, three CPU-pinned parallelism levels.
-        # 2 -> 8 cores sits below this VM's saturation point and shows the
-        # pipeline's own scaling; 8 -> 32 additionally absorbs the VM's
+        # same job, same input. The north-rule N -> 4N pair (2 vs 8 cores)
+        # runs CONCURRENTLY on disjoint pinned CPU sets so both levels see
+        # identical VM weather (see _concurrent_pair_secs); 8 -> 32 is
+        # measured sequentially and additionally absorbs this VM's
         # hardware ceiling, which the pure-CPU control quantifies.
-        tps = {}
-        for cores in (2, 8, min(32, CPUS)):
-            sec = _pinned_steady_sec(cores, scale_path)
-            tps[cores] = n_scale / sec
+        tps: dict[int, float] = {}
+        # two attempts, best-of per level: concurrency equalizes weather
+        # WITHIN an attempt; a second attempt guards against one leg's
+        # CPU set being stolen for the whole first window.
+        sec2, sec8 = _concurrent_pair_secs(scale_path)
+        sec2b, sec8b = _concurrent_pair_secs(scale_path)
+        tps[2] = n_scale / min(sec2, sec2b)
+        tps[8] = n_scale / min(sec8, sec8b)
+        sec32 = _pinned_steady_sec(min(32, CPUS), scale_path)
+        tps[min(32, CPUS)] = n_scale / sec32
         hw32 = _hw_parallel_factor(min(32, CPUS))
         eff_2_8 = tps[8] / (4.0 * tps[2])
         eff_8_32 = tps[min(32, CPUS)] / (4.0 * tps[8])
         scaling = {
             "method": (
-                "CPU-pinned (taskset 0..N-1) warm steady-state, full pipeline "
-                "all columns, noop sink, best of 2; same input at every level"
+                "CPU-pinned warm steady-state, full pipeline, noop sink, "
+                "same input at every level; 2-core (cpus 0-1) and 8-core "
+                "(cpus 2-9) run simultaneously on disjoint sets so the "
+                "N->4N ratio is weather-free; best-of-runs per level"
             ),
             "n_turns": n_scale,
             "turns_per_sec": {str(k): round(v, 1) for k, v in tps.items()},

@@ -683,6 +683,56 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cosine", F.round("cosine", 6))
 
 
+@register(
+    "ngram_jaccard_documents",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 120
+      UNION ALL
+      SELECT doc_id + 100000, text || ' extra tail words'
+      FROM documents WHERE doc_id < 40
+    ), toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM base
+    ), grams AS (
+      SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS gram
+      FROM toks, UNNEST(range(1, greatest(len(l)-2, 1)+1)) AS t(i)
+      WHERE len(array_to_string(l[i:i+2], ' ')) > 0
+    ), sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM grams a JOIN grams b USING (gram)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.4
+    ORDER BY 1, 2
+    """,
+)
+def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (pure relational plan:
+    explode distinct grams → gram equijoin → |∩|/|∪|), oracle-checked
+    against DuckDB's list-slice n-gram construction — same window
+    semantics including the short-document partial gram."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id", "text").filter("doc_id < 120")
+    )
+    mutated = (
+        docs.filter("doc_id < 40")
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.concat("text", F.lit(" extra tail words")))
+    )
+    return (
+        ngram_jaccard_pairs(docs.unionAll(mutated), n=3, threshold=0.4)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 @register("simhash_near_dup_pairs")  # rows-only: bitwise simhash blocks
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs (pigeonhole block join on hash bands,

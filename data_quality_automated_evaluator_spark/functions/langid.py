@@ -26,6 +26,10 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from ._mem import raise_mmap_threshold
+
+raise_mmap_threshold()  # batch temporaries must stay in the arena
+
 LANGS = ["en", "fr", "de", "ru", "zh"]
 
 # (language, regex pattern, weight); counts are per-character-ngram hits.
@@ -233,5 +237,16 @@ def langid_frame_regex(texts: pd.Series) -> pd.DataFrame:
 
 
 def langid_label(texts: pd.Series) -> pd.Series:
-    """Just the label column (the pandas-UDF hot path)."""
-    return langid_frame(texts)["lang"].astype(str)
+    """Just the label column (the pandas-UDF hot path).
+
+    ``SPARK_GRAFT_LANGID_BACKEND=regex`` forces the reference backend —
+    an A/B lever for benchmarking; both backends are parity-tested equal.
+    """
+    import os
+
+    be = (
+        langid_frame_regex
+        if os.environ.get("SPARK_GRAFT_LANGID_BACKEND") == "regex"
+        else langid_frame
+    )
+    return be(texts)["lang"].astype(str)

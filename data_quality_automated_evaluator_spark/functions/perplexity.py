@@ -18,6 +18,10 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from ._mem import raise_mmap_threshold
+
+raise_mmap_threshold()  # batch temporaries must stay in the arena
+
 # ---------------------------------------------------------------------------
 # Alphabet: 26 letters + 10 digits + space + common punct, OOV bucket last.
 # ---------------------------------------------------------------------------

@@ -119,14 +119,15 @@ def read_source(spark: SparkSession, source: dict) -> DataFrame:
         return apply_schema_overrides(reader.load(), overrides)
 
     if "table" in source or source.get("file_format") == "iceberg":
-        tbl = source.get("table") or source.get("path")
+        tbl = source.get("table") or source.get("path") or source.get("file_path")
         if "/" in str(tbl):
             df = spark.read.format("iceberg").load(str(tbl))
         else:
             df = spark.table(str(tbl))
         return apply_schema_overrides(df, overrides)
 
-    path = source["path"]
+    # reference configs use "file_path" (handle_data.py:107); accept both
+    path = source.get("path") or source["file_path"]
     fmt = source.get("file_format") or _infer_format(path)
     if fmt == "csv":
         reader = spark.read.options(header=True, inferSchema=True, **options)
