@@ -684,6 +684,38 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_counts_documents",
+    oracle=r"""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(len(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')))
+             AS total_bpe_tokens,
+           sum(len(regexp_extract_all(text, '\S+'))) AS total_ws_tokens,
+           sum(length(text)) AS total_chars
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting: whitespace + BPE-ish (GPT-2-flavored pretokenizer
+    regex) token counts per source, all JVM-side regexp_count — the
+    length-accounting pass of a training-data pipeline."""
+    from .functions.textstats import TOKEN_CLASS, bpe_token_count
+
+    df = _t(spark, sf_dir, "documents")
+    return (
+        df.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(bpe_token_count(F.col("text"))).alias("total_bpe_tokens"),
+            F.sum(F.regexp_count("text", F.lit(TOKEN_CLASS))).alias("total_ws_tokens"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "ngram_jaccard_documents",
     oracle=r"""
     WITH base AS (

@@ -36,6 +36,20 @@ STOPWORDS = [
 ]
 _STOPWORD_RE = r"(?i)\b(?:" + "|".join(STOPWORDS) + r")\b"
 
+# GPT-2-flavored pretokenizer, restricted to constructs with identical
+# semantics in Java regex and RE2/DuckDB (no lookahead — RE2 lacks it):
+# contraction suffixes, space-prefixed letter runs, digit runs, symbol
+# runs, whitespace runs. Counts approximate BPE token counts well enough
+# for length budgeting; cross-engine value parity is oracle-checked.
+# (Python `re` has no \p{} classes — a pandas mirror would need the
+# third-party `regex` module; the oracle here is DuckDB, not pandas.)
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count as a pure JVM expression (codegen hot path)."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE))
+
 
 # ---------------------------------------------------------------------------
 # Spark side (Column expressions — JVM, codegen)
