@@ -30,6 +30,17 @@ from pyspark.sql import types as T
 from ..functions.hashing import jaccard_pairs_batch, minhash_batch, simhash_batch
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure the Python signature stage engages every core: a small input
+    (one parquet split) would otherwise run the whole Arrow UDF pass as a
+    single task. No-op at production scale where the scan already has
+    thousands of splits."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
 def _minhash_fn(texts: pd.Series) -> pd.Series:
     return minhash_batch(texts)
 
@@ -92,7 +103,9 @@ def minhash_lsh_candidates(
     is 1-(1-s^r)^b — with 64/16×4 the curve knees near s≈0.5.
     """
     r = num_perm // bands
-    sig = df.select(F.col(id_col).alias("_id"), minhash_udf(F.col(text_col)).alias("_sig"))
+    sig = _spread(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("_id"), minhash_udf(F.col(text_col)).alias("_sig")
+    )
     banded = sig.select(
         "_id",
         F.posexplode(
@@ -173,7 +186,9 @@ def simhash_dedup_pairs(
     """
     nblocks = max_hamming + 1
     bits = 64 // nblocks
-    sig = df.select(F.col(id_col).alias("_id"), simhash_udf(F.col(text_col)).alias("_sim"))
+    sig = _spread(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("_id"), simhash_udf(F.col(text_col)).alias("_sim")
+    )
     # persisted for the same branch-twice reason as minhash_lsh_candidates
     sig = sig.persist()
     blocks = sig.select(

@@ -277,6 +277,51 @@ def ivf_assign(df: DataFrame, centroids: np.ndarray,
     )
 
 
+def ivf_write_partitioned(
+    df: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF layout: parquet partitioned by ``ivf_cell``
+    (Iceberg equivalent: ``writeTo(tbl).partitionedBy("ivf_cell")``).
+
+    This is the one-time ingest cost that turns every subsequent probe
+    into source-level partition pruning — the scan plans only the
+    ``n_probe`` matching directories and never reads the rest."""
+    ivf_assign(df, centroids, vec_col=vec_col).repartition("ivf_cell").write.mode(
+        "overwrite"
+    ).partitionBy("ivf_cell").parquet(path)
+
+
+def ivf_topk_partitioned(
+    spark,
+    path: str,
+    query: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a pre-partitioned IVF layout: the ``ivf_cell IN probes``
+    filter is a partition-column predicate, so Spark prunes at planning
+    time — no cell-assignment UDF, no full scan. Exact cosine re-ranks
+    the surviving cells."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    probes = np.argsort(-(centroids @ (q / (qn or 1.0))))[:n_probe].tolist()
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("ivf_cell").isin(probes))
+        .select(F.col(id_col), cosine_col(v, qlit).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query: list[float],

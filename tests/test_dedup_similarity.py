@@ -189,6 +189,49 @@ def test_ivf_partial_probe_recall(spark, embeddings):
     assert hits / trials >= 0.5, f"IVF recall {hits / trials:.2f} too low"
 
 
+def test_ivf_partitioned_layout_prunes_at_source(spark, embeddings, tmp_path):
+    """The pre-partitioned IVF layout must (a) return the same top-k as
+    the inline variant and (b) actually PRUNE: the probe plan's input
+    files all live under probed ivf_cell directories."""
+    from data_quality_automated_evaluator_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_partitioned,
+        ivf_write_partitioned,
+        train_ivf_centroids,
+    )
+
+    pdf = embeddings.toPandas()
+    C = train_ivf_centroids(embeddings, n_centroids=8)
+    layout = str(tmp_path / "ivf_layout")
+    ivf_write_partitioned(embeddings, layout, C)
+
+    q = list(map(float, pdf.iloc[7]["embedding"]))
+    inline = ivf_topk(embeddings, q, k=5, n_probe=3, centroids=C).toPandas()
+    part = ivf_topk_partitioned(spark, layout, q, C, k=5, n_probe=3).toPandas()
+    assert list(part["vec_id"]) == list(inline["vec_id"])
+
+    probes = {
+        int(i)
+        for i in np.argsort(-(C @ (np.asarray(q) / np.linalg.norm(q))))[:3]
+    }
+    import contextlib
+    import io
+
+    probe_df = spark.read.parquet(layout).filter(
+        F.col("ivf_cell").isin(list(probes))
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe_df.explain("formatted")
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "ivf_cell" in pf[0], f"no partition filter in plan:\n{plan}"
+    # and the planned scan reads fewer partitions than the full layout
+    n_probe_rows = probe_df.count()
+    n_all_rows = spark.read.parquet(layout).count()
+    assert 0 < n_probe_rows < n_all_rows
+
+
 def test_embedding_dup_pairs(spark, embeddings):
     # plant an exact duplicate embedding with a new id
     dup = embeddings.limit(1).withColumn("vec_id", F.lit(999999).cast("long"))
