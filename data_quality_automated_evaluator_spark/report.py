@@ -81,9 +81,21 @@ def make_report(
     dtype string or None (drives numeric subsections).
     """
     config = config or {}
-    multiplier_iqr = float(config.get("multiplier_iqr", 1.5))
-    threshold_zscore = float(config.get("threshold_zscore", 3.0))
-    criterion = config.get("outliers_criterion", "IQR")
+    # reference config shape nests these under "outliers" with keys
+    # criterion / multiplier_iqr / threshold_z_score (config.json:13-17);
+    # flat keys are accepted as a convenience fallback
+    outliers = config.get("outliers") or {}
+    multiplier_iqr = float(
+        outliers.get("multiplier_iqr", config.get("multiplier_iqr", 1.5))
+    )
+    threshold_zscore = float(
+        outliers.get(
+            "threshold_z_score", config.get("threshold_zscore", 3.0)
+        )
+    )
+    criterion = outliers.get(
+        "criterion", config.get("outliers_criterion", "IQR")
+    )
 
     def _evaluate(cols: list[str]) -> list[ColumnEvaluation]:
         if not cols:
