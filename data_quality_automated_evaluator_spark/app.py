@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 import sys
 
 from pyspark.sql import SparkSession
@@ -31,12 +32,27 @@ def run_evaluator(spark: SparkSession, config: dict) -> str | None:
     from .report import make_report
     from .sources.readers import read_source
 
+    # reference scale knob parity (preprocess.py:65-66): chunk size maps
+    # to the Arrow batch size of the collect path
+    if "streaming_chunk_size" in config:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(int(config["streaming_chunk_size"])),
+        )
+
     df = read_source(spark, config["source"])  # fatal on error
     res = make_preprocessing(df, config)  # fatal on error
 
     agg = res.aggregate.toPandas()  # tiny: one row per interval
     try:
-        out = config.get("report_path", "report/REPORT.md")
+        # reference path convention: <output>/<markdown.name> (report.py:288)
+        default_out = "report/REPORT.md"
+        if "output" in config:
+            default_out = os.path.join(
+                str(config["output"]),
+                (config.get("markdown") or {}).get("name", "README.md"),
+            )
+        out = config.get("report_path", default_out)
         make_report(agg, res.metadata, config, output_path=out)
         return out
     except Exception:

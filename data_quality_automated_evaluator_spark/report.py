@@ -24,42 +24,43 @@ from .functions.aggregates import (
 from .operators.evaluate import ColumnEvaluation, evaluate_data
 
 
-def format_number(x) -> str:
-    """Thousands separators for integral values, 4 significant decimals
-    otherwise, scientific for very large/small magnitudes."""
+def format_number(x, precision: int = 4) -> str:
+    """Thousands separators for integral values, ``precision`` decimals
+    otherwise, scientific for very large/small magnitudes (reference
+    ``markdown.float_precision``, report.py:322-346)."""
     if x is None or (isinstance(x, float) and pd.isna(x)):
         return "—"
     if isinstance(x, (int,)) or (isinstance(x, float) and float(x).is_integer()):
         v = int(x)
-        return f"{v:,}" if abs(v) < 10**15 else f"{float(v):.4e}"
+        return f"{v:,}" if abs(v) < 10**15 else f"{float(v):.{precision}e}"
     x = float(x)
     if x != 0 and (abs(x) >= 10**9 or abs(x) < 10**-4):
-        return f"{x:.4e}"
-    return f"{x:,.4f}"
+        return f"{x:.{precision}e}"
+    return f"{x:,.{precision}f}"
 
 
-def format_pair(mean, std) -> str:
-    return f"{format_number(mean)} ± {format_number(std)}"
+def format_pair(mean, std, precision: int = 4) -> str:
+    return f"{format_number(mean, precision)} ± {format_number(std, precision)}"
 
 
 def _anchor(title: str) -> str:
     return title.lower().replace(" ", "-").replace(",", "").replace("%", "")
 
 
-def _stats_table(evals: list[ColumnEvaluation]) -> str:
+def _stats_table(evals: list[ColumnEvaluation], precision: int = 4) -> str:
     """Transposed markdown table: statistics as rows, columns as series
     (reference report.py:272-278 layout)."""
     if not evals:
         return "_no statistics_\n"
     headers = [e.title for e in evals]
     rows = [
-        ("Mean ± Std", [format_pair(e.mean, e.std) for e in evals]),
-        ("Range [Min]", [format_number(e.min) for e in evals]),
-        ("Range [Max]", [format_number(e.max) for e in evals]),
-        ("Q1", [format_number(e.q1) for e in evals]),
-        ("Q3", [format_number(e.q3) for e in evals]),
-        ("IQR outliers, %", [format_number(e.pct_outliers_iqr) for e in evals]),
-        ("Z-score outliers, %", [format_number(e.pct_outliers_zscore) for e in evals]),
+        ("Mean ± Std", [format_pair(e.mean, e.std, precision) for e in evals]),
+        ("Range [Min]", [format_number(e.min, precision) for e in evals]),
+        ("Range [Max]", [format_number(e.max, precision) for e in evals]),
+        ("Q1", [format_number(e.q1, precision) for e in evals]),
+        ("Q3", [format_number(e.q3, precision) for e in evals]),
+        ("IQR outliers, %", [format_number(e.pct_outliers_iqr, precision) for e in evals]),
+        ("Z-score outliers, %", [format_number(e.pct_outliers_zscore, precision) for e in evals]),
     ]
     md = "| Statistic | " + " | ".join(headers) + " |\n"
     md += "|---" * (len(headers) + 1) + "|\n"
@@ -96,6 +97,11 @@ def make_report(
     criterion = outliers.get(
         "criterion", config.get("outliers_criterion", "IQR")
     )
+    precision = int(
+        (config.get("markdown") or {}).get(
+            "float_precision", config.get("float_precision", 4)
+        )
+    )
 
     def _evaluate(cols: list[str]) -> list[ColumnEvaluation]:
         if not cols:
@@ -114,21 +120,21 @@ def make_report(
     sections: list[tuple[str, str]] = []
 
     overview_cols = [c for c in aggregate.columns if c.startswith(OVERVIEW_PREFIX)]
-    sections.append(("Overview", _stats_table(_evaluate(overview_cols))))
+    sections.append(("Overview", _stats_table(_evaluate(overview_cols), precision)))
 
     for col, dtype in metadata.items():
         cols = [
             c for c in aggregate.columns
             if c.startswith(f"{COLUMN_PREFIX}{col} ")
         ]
-        body = _stats_table(_evaluate(cols))
+        body = _stats_table(_evaluate(cols), precision)
         if dtype is not None:
             num_cols = [
                 c for c in aggregate.columns
                 if c.startswith(f"{NUMERIC_PREFIX}{col} ")
             ]
             body += f"\n**Numeric statistics** (`{dtype}`)\n\n"
-            body += _stats_table(_evaluate(num_cols))
+            body += _stats_table(_evaluate(num_cols), precision)
         sections.append((f"Column `{col}`", body))
 
     md = [f"# {title}\n"]
