@@ -52,6 +52,31 @@ def test_extract_features_deterministic(spark, media):
         assert all(0.0 <= x <= 1.0 for x in a[mid])
 
 
+def test_audio_metadata_wav_headers(spark, media):
+    from data_quality_automated_evaluator_spark.operators.multimodal import (
+        audio_metadata,
+        decode_wav_meta,
+        make_wav_bytes,
+    )
+
+    wav = make_wav_bytes(seconds=0.5, rate=16000, channels=2, bits=16)
+    mime, rate, ch, bits, dur = decode_wav_meta(wav)
+    assert (mime, rate, ch, bits) == ("audio/wav", 16000, 2, 16)
+    assert abs(dur - 0.5) < 1e-9
+    assert decode_wav_meta(b"not a wav") == (None, None, None, None, None)
+    assert decode_wav_meta(None) == (None, None, None, None, None)
+
+    out = (
+        audio_metadata(media.filter(F.col("kind") == "audio"))
+        .toPandas()
+        .set_index("media_id")
+    )
+    assert len(out) > 0
+    assert (out["mime"] == "audio/wav").all()
+    assert (out["sample_rate"] >= 8000).all()
+    assert (out["duration_sec"] > 0).all()
+
+
 def test_resize_is_explicit_stub(spark, media):
     with pytest.raises(Exception, match="(?i)codec|NotImplemented"):
         resize_image(media, 64, 64).collect()
