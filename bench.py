@@ -151,6 +151,12 @@ def _concurrent_pair_secs(path: str) -> tuple[float, float]:
     """
     import subprocess
 
+    if os.cpu_count() is None or os.cpu_count() < 10:
+        # not enough CPUs for disjoint sets — sequential fallback
+        return (
+            _pinned_steady_sec(2, path, runs=2),
+            _pinned_steady_sec(8, path, runs=2),
+        )
     p2 = subprocess.Popen(
         _pinned_worker_cmd("0-1", 2, path, 2),
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
