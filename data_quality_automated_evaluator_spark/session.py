@@ -45,7 +45,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # pure-Python sweeps favor 2-4k rows/batch (cache residency), but
+        # in-Spark A/B shows Arrow IPC overhead cancels the gain — 10k is
+        # equal within measurement noise; knob kept for cluster tuning
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"),
+        )
         # UDF-heavy text workloads want smaller input splits than the 128m
         # default so scan+score tasks are seconds, not minutes, and all
         # cores engage even on modest inputs
