@@ -147,6 +147,35 @@ def interval_stats_events_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(out)
 
 
+@register("interval_stats_events_1d_approx")  # rows-only: HLL values are estimates
+def interval_stats_events_1d_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10^12-row variant of the flagship: ``approx_distinct`` swaps
+    exact null-inclusive count-distinct for HLL, removing the
+    distinct-rewrite Expand from the plan (one narrow HashAggregate pair
+    instead of Expand + double aggregation). Estimate accuracy and the
+    plan shape are pinned in pytest; the driver records rows-only."""
+    from .operators.preprocess import make_preprocessing
+
+    df = _t(spark, sf_dir, "events")
+    res = make_preprocessing(
+        df,
+        {
+            "date_column": "ts",
+            "time_interval": "1d",
+            "target_column": "value",
+            "columns_to_exclude": ["event_id", "props"],
+            "approx_distinct": True,
+        },
+    )
+    out = res.aggregate
+    for c in out.columns:
+        if c != "__time_interval":
+            out = out.withColumnRenamed(
+                c, c.strip().replace(" ", "_").replace("__", "c_")
+            )
+    return _round_doubles(out)
+
+
 @register(
     "interval_stats_events_1h",
     oracle="""
