@@ -28,17 +28,31 @@ log = logging.getLogger("data_quality_automated_evaluator_spark")
 
 
 def run_evaluator(spark: SparkSession, config: dict) -> str | None:
+    # reference scale knob parity (preprocess.py:65-66): chunk size maps
+    # to the Arrow batch size of the collect path. The override is scoped
+    # to this run — the session is shared, so the prior value is restored.
+    _ARROW_KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prior_batch = None
+    if "streaming_chunk_size" in config:
+        try:
+            prior_batch = spark.conf.get(_ARROW_KEY)
+        except Exception:
+            prior_batch = None
+        spark.conf.set(_ARROW_KEY, str(int(config["streaming_chunk_size"])))
+    try:
+        return _run_evaluator_inner(spark, config)
+    finally:
+        if "streaming_chunk_size" in config:
+            if prior_batch is None:
+                spark.conf.unset(_ARROW_KEY)
+            else:
+                spark.conf.set(_ARROW_KEY, prior_batch)
+
+
+def _run_evaluator_inner(spark: SparkSession, config: dict) -> str | None:
     from .operators.preprocess import make_preprocessing
     from .report import make_report
     from .sources.readers import read_source
-
-    # reference scale knob parity (preprocess.py:65-66): chunk size maps
-    # to the Arrow batch size of the collect path
-    if "streaming_chunk_size" in config:
-        spark.conf.set(
-            "spark.sql.execution.arrow.maxRecordsPerBatch",
-            str(int(config["streaming_chunk_size"])),
-        )
 
     df = read_source(spark, config["source"])  # fatal on error
     res = make_preprocessing(df, config)  # fatal on error

@@ -480,20 +480,57 @@ def embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("minhash_near_dup_pairs")  # rows-only: LSH is not SQL-expressible
+@register(
+    "minhash_near_dup_pairs",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 500
+      UNION ALL
+      SELECT doc_id + 100000, text || ' extra tail words'
+      FROM documents WHERE doc_id < 50
+    ), grams AS (
+      SELECT DISTINCT doc_id, substr(text, i, 5) AS gram
+      FROM base, UNNEST(range(1, greatest(length(text)-4, 1)+1)) AS t(i)
+    ), sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM grams a JOIN grams b USING (gram)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6
+    ORDER BY 1, 2
+    """,
+)
 def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs over documents with 50 planted
-    mutated copies; verified by exact-Jaccard (pytest covers correctness
-    against a pandas oracle — the driver records a rows-only check)."""
+    mutated copies, value-checked against DuckDB's EXACT 5-char-shingle
+    Jaccard of every qualifying pair: the LSH candidate stage (r=2, b=32
+    → pair-miss probability (1-s²)^32 < 1e-6 at the 0.6 threshold, and
+    every observed pair sits ≥0.79) recalls every true pair on this data,
+    and the verification stage computes exact Jaccard, so emitted ==
+    exact. The input is bounded (550 docs) so the all-pairs oracle is
+    feasible; the LSH plan itself never materializes all pairs."""
     from .operators.dedup import minhash_lsh_dedup_pairs
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id", "text").filter("doc_id < 500")
+    )
     mutated = (
         docs.filter(F.col("doc_id") < 50)
         .withColumn("doc_id", F.col("doc_id") + 100000)
         .withColumn("text", F.concat(F.col("text"), F.lit(" extra tail words")))
     )
-    return minhash_lsh_dedup_pairs(docs.unionAll(mutated), threshold=0.6)
+    return (
+        minhash_lsh_dedup_pairs(
+            docs.unionAll(mutated), threshold=0.6, num_perm=64, bands=32
+        )
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 @register("langid_documents")  # rows-only: model scoring is not SQL-expressible
@@ -709,15 +746,30 @@ def reassemble_events_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ivf_ann_topk")  # rows-only: k-means cell routing is not SQL-expressible
+@register(
+    "ivf_ann_topk",
+    oracle=f"""
+    SELECT vec_id,
+           round(list_cosine_similarity(
+             CAST(embedding AS DOUBLE[]),
+             {_ANN_QUERY_VEC!r}::DOUBLE[]), 6) AS cosine
+    FROM embeddings
+    ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             {_ANN_QUERY_VEC!r}::DOUBLE[]) DESC, vec_id
+    LIMIT 10
+    """,
+)
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k (spherical k-means cells, n_probe nearest cells
-    scanned, exact cosine re-rank). Recall vs brute force is gated in
-    pytest; the driver records a rows-only check."""
+    scanned, exact cosine re-rank). Run at full probe width here
+    (n_probe == n_centroids) so the WHOLE IVF machinery — sampled
+    centroid training, Arrow cell assignment, probe routing, JVM cosine
+    re-rank — executes and must reproduce the brute-force oracle exactly;
+    partial-probe recall (n_probe < n_centroids) is gated in pytest."""
     from .operators.similarity import ivf_topk
 
     df = _t(spark, sf_dir, "embeddings")
-    out = ivf_topk(df, _ANN_QUERY_VEC, k=10, n_probe=4, n_centroids=8)
+    out = ivf_topk(df, _ANN_QUERY_VEC, k=10, n_probe=8, n_centroids=8)
     return out.withColumn("cosine", F.round("cosine", 6))
 
 
@@ -726,11 +778,12 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     SELECT source,
            count(*) AS n_docs,
-           sum(len(regexp_extract_all(text,
+           CAST(sum(len(regexp_extract_all(text,
              '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')))
-             AS total_bpe_tokens,
-           sum(len(regexp_extract_all(text, '\S+'))) AS total_ws_tokens,
-           sum(length(text)) AS total_chars
+             AS BIGINT) AS total_bpe_tokens,
+           CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+             AS total_ws_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
     FROM documents GROUP BY source ORDER BY source
     """,
 )
@@ -803,16 +856,35 @@ def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("simhash_near_dup_pairs")  # rows-only: bitwise simhash blocks
-def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate pairs (pigeonhole block join on hash bands,
-    Hamming-distance verify) over documents with planted mutated copies."""
-    from .operators.dedup import simhash_dedup_pairs
+from .operators.dedup import simhash_md5_oracle_sql as _simhash_oracle
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+_SIMHASH_BASE_SQL = """
+      SELECT doc_id, text FROM documents WHERE doc_id < 500
+      UNION ALL
+      SELECT doc_id + 100000, text || ' tail' FROM documents WHERE doc_id < 50"""
+
+
+@register("simhash_near_dup_pairs", oracle=_simhash_oracle(_SIMHASH_BASE_SQL))
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (pigeonhole block join, Hamming
+    verify) over documents with planted mutated copies — the pure-Catalyst
+    md5-nibble variant, value-checked end-to-end: the DuckDB oracle
+    rebuilds the SAME 64-bit signatures from the same block expressions
+    (operators/dedup.py simhash_block_expr), so emitted pairs AND hamming
+    values must agree bit-for-bit. The Arrow/numpy simhash
+    (simhash_dedup_pairs) remains pytest-gated as the alternative
+    backend."""
+    from .operators.dedup import simhash_md5_pairs
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id", "text").filter("doc_id < 500")
+    )
     mutated = (
         docs.filter(F.col("doc_id") < 50)
         .withColumn("doc_id", F.col("doc_id") + 100000)
         .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
     )
-    return simhash_dedup_pairs(docs.unionAll(mutated), max_hamming=6)
+    return (
+        simhash_md5_pairs(docs.unionAll(mutated), max_hamming=3)
+        .orderBy("id_a", "id_b")
+    )

@@ -103,7 +103,12 @@ _DE_CONT = [bytes(c, "utf-8")[1] for c in "äöüß"]  # all C3-lead
 def _pattern_positions(buf: np.ndarray, pat: bytes) -> np.ndarray:
     """Candidate start indices where ``pat`` occurs in ``buf`` (overlap-free
     for our patterns by construction — no pattern can overlap itself)."""
-    idx = np.flatnonzero(buf[: len(buf) - len(pat) + 1] == pat[0])
+    limit = len(buf) - len(pat) + 1
+    if limit <= 0:
+        # pattern longer than buffer; a negative slice bound would wrap
+        # around and leave stale candidates that index past the buffer
+        return np.empty(0, dtype=np.int64)
+    idx = np.flatnonzero(buf[:limit] == pat[0])
     for j in range(1, len(pat)):
         if not idx.size:
             return idx
@@ -126,6 +131,24 @@ def _word_positions(buf: np.ndarray, wc: np.ndarray, word: bytes) -> np.ndarray:
     return idx[left_ok & right_ok]
 
 
+# Typographic punctuation → ASCII, all 1-char→1-char so \b boundary
+# semantics match the regex spec byte-for-byte: the byte backend treats
+# every >=0x80 byte as a word char, but NBSP / curly quotes / ellipsis /
+# guillemets / dashes are NON-word under Unicode \b. Normalizing them to
+# their (equally non-word) ASCII forms before encoding removes the
+# divergence the restricted-alphabet parity test used to hide.
+_TYPOGRAPHIC = str.maketrans({
+    " ": " ",  # NBSP (C2 A0)
+    " ": " ",  # thin space
+    " ": " ",  # narrow NBSP (French punctuation spacing)
+    "‘": "'", "’": "'",   # curly apostrophes
+    "“": '"', "”": '"',   # curly quotes
+    "«": '"', "»": '"',   # guillemets
+    "…": " ",  # ellipsis
+    "–": "-", "—": "-",   # en/em dash
+})
+
+
 def _encode_lower(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, int]:
     """Join a batch into one NUL-separated lowercased UTF-8 buffer.
 
@@ -134,6 +157,7 @@ def _encode_lower(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, int]:
     byte — together covering every cased character our features read.
     """
     s = texts.fillna("").astype(str).str.slice(0, PREFIX_CHARS)
+    s = s.str.translate(_TYPOGRAPHIC)
     s = s.str.replace("\x00", "", regex=False)
     n = len(s)
     joined = "\x00".join(s.tolist())

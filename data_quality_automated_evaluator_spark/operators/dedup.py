@@ -89,6 +89,17 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def release_cached(df: DataFrame) -> None:
+    """Unpersist any cached inputs a dedup operator attached to its result
+    (``_persisted_inputs``). Call after the consuming action — long-lived
+    sessions otherwise accumulate signature blocks in the block manager."""
+    for cached in getattr(df, "_persisted_inputs", ()):
+        try:
+            cached.unpersist()
+        except Exception:
+            pass
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -121,12 +132,16 @@ def minhash_lsh_candidates(
     banded = banded.persist()
     a = banded.select(F.col("_id").alias("id_a"), "band_idx", "band_hash")
     b = banded.select(F.col("_id").alias("id_b"), "band_idx", "band_hash")
-    return (
+    out = (
         a.join(b, ["band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+    # caller-owned cleanup: after the consuming action,
+    # release_cached(out) drops the signature blocks from the cache
+    out._persisted_inputs = [banded]
+    return out
 
 
 def minhash_lsh_dedup_pairs(
@@ -161,11 +176,13 @@ def minhash_lsh_dedup_pairs(
     def jaccard_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
         return jaccard_pairs_batch(ta, tb, shingle_k)
 
-    return (
+    out = (
         pairs.withColumn("jaccard", jaccard_udf("_ta", "_tb"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    out._persisted_inputs = getattr(cands, "_persisted_inputs", [])
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -213,11 +230,148 @@ def simhash_dedup_pairs(
         .distinct()
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    out = (
+        cands.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    out._persisted_inputs = [sig]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash, pure-Catalyst variant (md5-nibble signatures, SQL-reproducible)
+# ---------------------------------------------------------------------------
+
+# SimHash from md5 nibbles: bit b of the 64-bit signature lives in hex
+# char b//4 (1-indexed) of md5(gram), sub-bit b%4. Every construct here
+# (instr/substr/md5/CASE/sum/>>/&) evaluates identically in Spark SQL and
+# DuckDB, which is what makes this variant END-TO-END value-checkable by
+# the driver oracle — no Python in the hot path at all, so it is also the
+# fastest plan shape at scale (whole-stage codegen through the explode,
+# hash, 64 partial sums, block join, and popcount verify).
+
+def _nibble_expr(j: int, col: str = "h") -> str:
+    return f"(instr('0123456789abcdef', substr({col}, {j + 1}, 1)) - 1)"
+
+
+def _bit_vote_expr(b: int, col: str = "h") -> str:
+    return (
+        f"sum(CASE WHEN (({_nibble_expr(b // 4, col)} >> {b % 4}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END)"
+    )
+
+
+def simhash_block_expr(i: int, col: str = "h") -> str:
+    """16-bit block i (bits 16i..16i+15) of the majority-vote signature,
+    as a SQL aggregate expression over exploded md5(gram) rows. Shared
+    verbatim between the Spark plan and the DuckDB oracle."""
+    return "(" + " + ".join(
+        f"(CASE WHEN {_bit_vote_expr(16 * i + t, col)} > 0 THEN {1 << t} ELSE 0 END)"
+        for t in range(16)
+    ) + ")"
+
+
+def simhash_md5_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    k: int = 5,
+) -> DataFrame:
+    """Near-duplicate pairs with Hamming ≤ max_hamming over md5-nibble
+    SimHash signatures — pure Catalyst (zero Python), exactly
+    SQL-reproducible (see :func:`simhash_block_expr`).
+
+    Pigeonhole with 4 16-bit blocks guarantees exactness for
+    max_hamming ≤ 3: any pair within distance 3 agrees on ≥1 whole block.
+    The block equijoin is the only pair-touching shuffle; signatures are
+    64 map-side partial sums per doc (one HashAggregate). Reference
+    parity: same near-dup contract as the Arrow-backed
+    :func:`simhash_dedup_pairs`; this is the all-JVM plan shape.
+    """
+    if max_hamming > 3:
+        raise ValueError("4×16-bit pigeonhole is exact only for max_hamming <= 3")
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(length({text_col})-{k - 1}, 1)),"
+                    f" i -> substr({text_col}, i, {k}))"
+                )
+            )
+        ).alias("_g"),
+    ).withColumn("h", F.md5("_g"))
+    sigs = grams.groupBy("_id").agg(
+        *[F.expr(simhash_block_expr(i)).alias(f"b{i}") for i in range(4)]
+    )
+    blocks = sigs.select(
+        "_id", "b0", "b1", "b2", "b3",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("block_idx", "block_val"),
+    )
+    a = blocks.select(
+        F.col("_id").alias("id_a"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(4)],
+        "block_idx", "block_val",
+    )
+    b = blocks.select(
+        F.col("_id").alias("id_b"),
+        *[F.col(f"b{i}").alias(f"c{i}") for i in range(4)],
+        "block_idx", "block_val",
+    )
+    cands = (
+        a.join(b, ["block_idx", "block_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", *[f"a{i}" for i in range(4)],
+                *[f"c{i}" for i in range(4)])
+        .distinct()
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"c{i}"))) for i in range(4)
+    )
     return (
         cands.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_md5_oracle_sql(
+    base_sql: str, max_hamming: int = 3, k: int = 5
+) -> str:
+    """DuckDB oracle for :func:`simhash_md5_pairs` over ``base_sql``
+    (a SELECT yielding doc_id, text) — generated from the SAME block
+    expressions the Spark plan uses, so signatures agree bit-for-bit."""
+    block_sql = ",\n      ".join(
+        f"{simhash_block_expr(i)} AS b{i}" for i in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(a{i},c{i}))" for i in range(4))
+    return f"""
+    WITH base AS ({base_sql}
+    ), grams AS (
+      SELECT DISTINCT doc_id, md5(substr(text, i, {k})) AS h
+      FROM base, UNNEST(range(1, greatest(length(text)-{k - 1}, 1)+1)) AS t(i)
+    ), sigs AS (
+      SELECT doc_id, {block_sql}
+      FROM grams GROUP BY doc_id
+    ), blocks AS (
+      SELECT doc_id, b0, b1, b2, b3, u.block_idx,
+             CASE u.block_idx WHEN 0 THEN b0 WHEN 1 THEN b1
+                              WHEN 2 THEN b2 ELSE b3 END AS block_val
+      FROM sigs, UNNEST(range(0,4)) AS u(block_idx)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
+             b.b0 AS c0, b.b1 AS c1, b.b2 AS c2, b.b3 AS c3
+      FROM blocks a JOIN blocks b USING (block_idx, block_val)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST({ham} AS INT) AS hamming
+    FROM cand
+    WHERE {ham} <= {max_hamming}
+    ORDER BY 1, 2
+    """
 
 
 # ---------------------------------------------------------------------------

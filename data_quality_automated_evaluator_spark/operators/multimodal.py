@@ -122,7 +122,9 @@ def decode_wav_meta(
             data_len = chunk_len
         pos += 8 + chunk_len + (chunk_len & 1)  # chunks are word-aligned
     duration = None
-    if data_len is not None and rate and channels and bits:
+    # bits < 8 would make (bits // 8) == 0 — a malformed fmt chunk must
+    # yield a None duration, not a ZeroDivisionError that kills the task
+    if data_len is not None and rate and channels and bits and bits >= 8:
         duration = data_len / (rate * channels * (bits // 8))
     return ("audio/wav", rate, channels, bits, duration)
 

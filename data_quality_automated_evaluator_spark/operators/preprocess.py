@@ -28,9 +28,8 @@ import re
 import uuid
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..functions.aggregates import (
     TIME_INTERVAL_COL,
@@ -71,13 +70,18 @@ def _expr_with_int_date_fallback(df: DataFrame, sql_expr: str):
     try:
         df.select(expr)  # analysis only — no job runs
         return expr
-    except Exception:
+    except Exception as orig:
         rewritten = _INT_DATE_CAST.sub(
             r"DATE_ADD(DATE'1970-01-01', CAST(\1 AS INT))", sql_expr
         )
         if rewritten == sql_expr:
             raise
-        return F.expr(rewritten)
+        try:
+            return F.expr(rewritten)
+        except Exception as exc:
+            # surface the ORIGINAL analysis error — the rewrite failing
+            # second is a symptom, not the cause
+            raise orig from exc
 
 
 def apply_transformations(

@@ -158,11 +158,17 @@ def _hyperplanes_for(df: DataFrame, vec_col: str, n_planes: int, seed: int) -> n
     return _hyperplanes(dim, n_planes, seed)
 
 
+# exact_cosine_pairs materializes the whole table on the driver; above
+# this many vectors the caller must use embedding_dup_pairs / IVF instead.
+EXACT_PAIRS_MAX_ROWS = 200_000
+
+
 def exact_cosine_pairs(
     df: DataFrame,
     threshold: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_rows: int = EXACT_PAIRS_MAX_ROWS,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold, broadcast-matmul formulation.
 
@@ -176,6 +182,14 @@ def exact_cosine_pairs(
     the (id_a < id_b, cos ≥ t) survivors. Cost: O(n²·d) SIMD flops, no
     pair-wise shuffle at all.
     """
+    n_rows = df.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"exact_cosine_pairs is the small-table exact baseline: input has "
+            f"{n_rows} rows > max_rows={max_rows}; collecting it would OOM the "
+            f"driver. Use embedding_dup_pairs (LSH prefilter) or the IVF ANN "
+            f"path for large tables."
+        )
     pdf = df.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     ).toPandas()
@@ -205,7 +219,12 @@ def exact_cosine_pairs(
     probe = df.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    return probe.mapInPandas(gen, schema="id_a long, id_b long, cosine double")
+    out = probe.mapInPandas(gen, schema="id_a long, id_b long, cosine double")
+    # the broadcast must outlive execution of the (lazy) result, so it is
+    # handed to the caller for cleanup: out._exact_pairs_broadcast.destroy()
+    # after the consuming action releases executor + driver memory.
+    out._exact_pairs_broadcast = bcast
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -74,3 +74,37 @@ def interval_rule_stats(
     for r in RULE_NAMES:
         aggs.append(F.avg(F.col(r).cast("double")).alias(f"{r}_pass_rate"))
     return result.groupBy(bucket).agg(*aggs).orderBy("__time_interval")
+
+
+def interval_rule_partials(
+    result: DataFrame, time_interval: str = "1d"
+) -> DataFrame:
+    """Combinable per-(partition, interval) partial aggregates: counts and
+    flag SUMS instead of rates, so stats over an ever-growing table stay
+    incremental — each batch aggregates only its own partitions, and
+    :func:`combine_rule_partials` folds all stored partials into the same
+    rates :func:`interval_rule_stats` would compute over the full table
+    (rule flags are non-null, so sum/count == avg exactly).
+
+    ``result`` must carry ``part_date`` (the sink's partition column).
+    """
+    bucket = truncate_to_interval(F.col("ts"), time_interval).alias("__time_interval")
+    aggs = [F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.col("keep").cast("long")).alias("keep_sum")]
+    for r in RULE_NAMES:
+        aggs.append(F.sum(F.col(r).cast("long")).alias(f"{r}_sum"))
+    return result.groupBy("part_date", bucket).agg(*aggs)
+
+
+def combine_rule_partials(partials: DataFrame) -> DataFrame:
+    """Fold stored partials into the interval_rule_stats schema.
+
+    Input cardinality is #partitions × #buckets — metadata-sized; this
+    never touches the written fact table.
+    """
+    n = F.sum("n_turns")
+    aggs = [n.alias("n_turns"),
+            (F.sum("keep_sum").cast("double") / n).alias("keep_rate")]
+    for r in RULE_NAMES:
+        aggs.append((F.sum(f"{r}_sum").cast("double") / n).alias(f"{r}_pass_rate"))
+    return partials.groupBy("__time_interval").agg(*aggs).orderBy("__time_interval")

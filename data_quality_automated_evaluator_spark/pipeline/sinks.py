@@ -26,11 +26,74 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .quality import interval_rule_stats, run_quality_pipeline
+from .quality import (
+    combine_rule_partials,
+    interval_rule_partials,
+    run_quality_pipeline,
+)
 from .rules import RULE_NAMES, Thresholds
 
 OUTPUT_COLUMNS = ["conv_id", "turn_idx", "role", "tool", "ts", "keep",
                   *RULE_NAMES, "text_scrubbed"]
+
+# footer reads go driver-side below this many files, RDD-distributed above
+_FOOTER_DRIVER_MAX_FILES = 64
+
+
+def _footer_minmax_one(path: str, col: str):
+    """(min, max) of ``col`` from one parquet file's footer statistics.
+    Returns None when stats are absent for any row group (must widen to a
+    scan — a partial answer would silently drop partitions)."""
+    import pyarrow.parquet as pq
+
+    local = path[7:] if path.startswith("file://") else path
+    md = pq.ParquetFile(local).metadata
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    if col not in names:
+        return None
+    ci = names[col]
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(ci).statistics
+        if st is None or not st.has_min_max:
+            return None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return (lo, hi)
+
+
+def _parquet_footer_ts_bounds(df: DataFrame, col: str):
+    """Global (min, max) of ``col`` from parquet footers, or None when the
+    input is not footer-readable (non-parquet / no files / missing stats)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files or not all(f.split("?")[0].endswith(".parquet") or "/part-" in f
+                            for f in files):
+        return None
+    try:
+        if len(files) <= _FOOTER_DRIVER_MAX_FILES:
+            results = [_footer_minmax_one(f, col) for f in files]
+        else:
+            sc = df.sparkSession.sparkContext
+            n_slices = max(1, len(files) // 256)
+            results = (
+                sc.parallelize(files, n_slices)
+                .map(lambda f: _footer_minmax_one(f, col))
+                .collect()
+            )
+    except Exception:
+        return None
+    if any(r is None for r in results) or not results:
+        return None
+    lo = min(r[0] for r in results)
+    hi = max(r[1] for r in results)
+    import datetime as _dt
+
+    if not isinstance(lo, _dt.datetime):
+        return None
+    return (lo, hi)
 
 
 class QualitySink:
@@ -42,6 +105,7 @@ class QualitySink:
         self.root = root
         self.turns_dir = os.path.join(root, "turns")
         self.stats_dir = os.path.join(root, "stats")
+        self.stats_partials_dir = os.path.join(root, "stats_partials")
         self.ledger_dir = os.path.join(root, "ledger")
 
     # -- ledger ------------------------------------------------------------
@@ -64,6 +128,41 @@ class QualitySink:
             json.dump(entry, fh)
         os.replace(tmp, path)
 
+    # -- partition discovery -------------------------------------------------
+    @staticmethod
+    def discover_partitions(df: DataFrame) -> list[str]:
+        """Candidate partition dates WITHOUT a full input scan.
+
+        A ``distinct()`` over the raw fact table is a complete scan plus a
+        shuffle before any work starts; at 10^12 rows that alone dominates
+        an incremental run. Discovery is tiered, cheapest first:
+
+        1. **Footer statistics** — for a parquet-backed input, read the
+           per-row-group min/max of ``ts`` straight from the file footers
+           (the bare-parquet analog of Iceberg manifest metadata; on
+           Iceberg the catalog serves the same numbers). Footer reads are
+           O(#files) metadata I/O, distributed over an RDD of file names
+           when the listing is large — zero data pages touched.
+        2. **Fallback** — ``min(ts)/max(ts)`` aggregation: a single-column
+           pruned scan with map-side partial aggregation and no shuffle.
+
+        The contiguous [min_date, max_date] range is the candidate set; a
+        date inside the range with no rows processes to an empty
+        (idempotent) partition once and is ledgered with zero counts.
+        """
+        import datetime as _dt
+
+        bounds = _parquet_footer_ts_bounds(df, "ts")
+        if bounds is None:
+            row = df.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+            if row is None or row["lo"] is None:
+                return []
+            bounds = (row["lo"], row["hi"])
+        lo, hi = bounds[0].date(), bounds[1].date()
+        return [
+            str(lo + _dt.timedelta(days=i)) for i in range((hi - lo).days + 1)
+        ]
+
     # -- main entry ----------------------------------------------------------
     def run(
         self,
@@ -78,12 +177,8 @@ class QualitySink:
         (for incremental/checkpoint-test runs); None = all pending.
         """
         spark = df.sparkSession
+        all_parts = self.discover_partitions(df)
         df = df.withColumn("part_date", F.to_date("ts"))
-
-        all_parts = [
-            str(r[0])
-            for r in df.select("part_date").distinct().orderBy("part_date").collect()
-        ]
         done = self.completed_partitions()
         pending = [p for p in all_parts if p not in done]
         if batch_days is not None:
@@ -114,13 +209,21 @@ class QualitySink:
 
         # stats + per-partition metrics from the WRITTEN output (cheap,
         # column-pruned re-read of compact parquet, never the raw input).
-        # stats cover the WHOLE table so an interrupted+resumed run
-        # converges to the same stats artifact as an uninterrupted one.
+        # Incremental: only THIS batch's partitions are aggregated into
+        # combinable partials (counts + flag sums per (part_date, bucket)),
+        # written with dynamic overwrite so a partition re-run is
+        # idempotent. The combined stats artifact is then derived from the
+        # partials alone — O(#partitions × #buckets) rows, never a re-read
+        # of the accumulated table — and still converges to exactly what an
+        # uninterrupted run would produce.
         all_written = spark.read.parquet(self.turns_dir)
-        stats = interval_rule_stats(all_written, time_interval)
-        stats.write.mode("overwrite").parquet(self.stats_dir)
-
         written = all_written.filter(F.col("part_date").isin(pending))
+        partials = interval_rule_partials(written, time_interval)
+        partials.repartition("part_date").write.mode("overwrite").partitionBy(
+            "part_date"
+        ).parquet(self.stats_partials_dir)
+        stats = combine_rule_partials(spark.read.parquet(self.stats_partials_dir))
+        stats.write.mode("overwrite").parquet(self.stats_dir)
         metrics = (
             written.groupBy("part_date")
             .agg(
@@ -134,13 +237,17 @@ class QualitySink:
         wall = time.perf_counter() - t0
         total_turns = 0
         total_keep = 0
-        for row in metrics:
+        by_date = {str(row["part_date"]): row for row in metrics}
+        for part in pending:
+            row = by_date.get(part)
             entry = {
-                "part_date": str(row["part_date"]),
-                "n_turns": row["n_turns"],
-                "n_keep": row["n_keep"],
-                "n_convs": row["n_convs"],
-                "scrubbed_chars": row["scrubbed_chars"],
+                "part_date": part,
+                # a candidate date inside the min/max range with no rows is
+                # still ledgered (zeros) so resume never reprocesses it
+                "n_turns": row["n_turns"] if row else 0,
+                "n_keep": row["n_keep"] if row else 0,
+                "n_convs": row["n_convs"] if row else 0,
+                "scrubbed_chars": row["scrubbed_chars"] if row else 0,
                 "run_wall_sec": round(wall, 3),
                 "thresholds": thresholds.__dict__ | {
                     "allowed_langs": list(thresholds.allowed_langs)
@@ -148,8 +255,8 @@ class QualitySink:
                 "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
             self._write_ledger_entry(entry)
-            total_turns += row["n_turns"]
-            total_keep += row["n_keep"]
+            total_turns += entry["n_turns"]
+            total_keep += entry["n_keep"]
 
         return {
             "processed_partitions": len(pending),
@@ -162,10 +269,18 @@ class QualitySink:
     def read_turns(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.turns_dir)
 
+    def read_stats(self, spark: SparkSession) -> DataFrame:
+        """Combined interval stats, folded from the per-partition partials
+        (equivalent to interval_rule_stats over the whole written table,
+        without scanning it)."""
+        return combine_rule_partials(spark.read.parquet(self.stats_partials_dir))
+
 
 def write_iceberg(result: DataFrame, table: str) -> None:
     """Iceberg sink (requires the iceberg-spark runtime on the cluster):
     partitioned by days(ts), append-or-replace semantics handled by the
     caller via ``overwritePartitions``. Kept behind this function so the
     sandbox (no Iceberg jar) uses the parquet layout above instead."""
-    result.writeTo(table).partitionedBy(F.days(F.col("ts"))).createOrReplace()
+    from pyspark.sql.functions import partitioning
+
+    result.writeTo(table).partitionedBy(partitioning.days(F.col("ts"))).createOrReplace()

@@ -112,6 +112,26 @@ def make_report(
             threshold_zscore=threshold_zscore, outliers_criterion=criterion,
         ).evaluations
 
+    # reference chart parity (plot.py:9-71): a "plotly" (or "charts")
+    # config section turns on per-group chart artifacts, embedded below
+    # each section's stats table
+    charts_on = "plotly" in config or "charts" in config
+    charts_dir = None
+    if charts_on and output_path:
+        charts_dir = os.path.join(os.path.dirname(output_path) or ".", "charts")
+
+    def _chart_md(cols: list[str], evals: list[ColumnEvaluation], slug: str) -> str:
+        if not (charts_dir and evals):
+            return ""
+        from .charts import make_charts
+
+        fmt = (config.get("plotly") or config.get("charts") or {}).get("format")
+        path = make_charts(
+            aggregate[[TIME_INTERVAL_COL] + cols], evals, charts_dir, slug, fmt=fmt
+        )
+        rel = os.path.relpath(path, os.path.dirname(output_path) or ".")
+        return f"\n![{slug}]({rel})\n"
+
     title = config.get("report_title", "Data quality evaluation")
     n_intervals = len(aggregate)
     lo = aggregate[TIME_INTERVAL_COL].min()
@@ -120,21 +140,29 @@ def make_report(
     sections: list[tuple[str, str]] = []
 
     overview_cols = [c for c in aggregate.columns if c.startswith(OVERVIEW_PREFIX)]
-    sections.append(("Overview", _stats_table(_evaluate(overview_cols), precision)))
+    overview_evals = _evaluate(overview_cols)
+    sections.append((
+        "Overview",
+        _stats_table(overview_evals, precision)
+        + _chart_md(overview_cols, overview_evals, "overview"),
+    ))
 
     for col, dtype in metadata.items():
         cols = [
             c for c in aggregate.columns
             if c.startswith(f"{COLUMN_PREFIX}{col} ")
         ]
-        body = _stats_table(_evaluate(cols), precision)
+        evals = _evaluate(cols)
+        body = _stats_table(evals, precision) + _chart_md(cols, evals, f"column-{col}")
         if dtype is not None:
             num_cols = [
                 c for c in aggregate.columns
                 if c.startswith(f"{NUMERIC_PREFIX}{col} ")
             ]
+            num_evals = _evaluate(num_cols)
             body += f"\n**Numeric statistics** (`{dtype}`)\n\n"
-            body += _stats_table(_evaluate(num_cols), precision)
+            body += _stats_table(num_evals, precision)
+            body += _chart_md(num_cols, num_evals, f"numeric-{col}")
         sections.append((f"Column `{col}`", body))
 
     md = [f"# {title}\n"]

@@ -44,6 +44,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # INT64 micros instead of legacy INT96: Iceberg-compatible, and
+        # parquet footers then carry min/max stats for timestamp columns —
+        # QualitySink.discover_partitions reads those instead of scanning
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # pure-Python sweeps favor 2-4k rows/batch (cache residency), but
         # in-Spark A/B shows Arrow IPC overhead cancels the gain — 10k is

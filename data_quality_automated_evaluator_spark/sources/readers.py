@@ -84,6 +84,83 @@ def _infer_format(path: str) -> str | None:
     }.get(ext)
 
 
+# ---------------------------------------------------------------------------
+# hf:// dataset paths (reference README.md:416,439,472 reads HuggingFace
+# globs directly via Polars' fsspec integration). Spark has no hf://
+# filesystem, so the shim resolves the glob driver-side against the public
+# HuggingFace Hub HTTP API, downloads matching files to a local cache, and
+# hands Spark the local paths. Listing + fetching are injectable for tests
+# and for clusters where the download belongs on a shared filesystem.
+# ---------------------------------------------------------------------------
+
+_HF_RE = re.compile(r"^hf://datasets/([^/@]+)/([^/@]+)(?:@([^/]+))?/(.+)$")
+
+
+def _hf_list_files(org: str, name: str, rev: str) -> list[str]:  # pragma: no cover
+    """Repo file listing via the public Hub API (needs network)."""
+    import json as _json
+    import urllib.request
+
+    url = f"https://huggingface.co/api/datasets/{org}/{name}/tree/{rev}?recursive=true"
+    with urllib.request.urlopen(url) as resp:
+        entries = _json.load(resp)
+    return [e["path"] for e in entries if e.get("type") == "file"]
+
+
+def _hf_fetch(url: str, dest: str) -> None:  # pragma: no cover
+    """Download one file (needs network)."""
+    import urllib.request
+
+    tmp = dest + ".tmp"
+    urllib.request.urlretrieve(url, tmp)
+    os.replace(tmp, dest)
+
+
+def resolve_hf_path(
+    path: str,
+    cache_dir: str | None = None,
+    list_files=None,
+    fetch=None,
+) -> list[str]:
+    """``hf://datasets/org/name[@rev]/glob`` → local file paths.
+
+    The glob is matched against the repo listing (fnmatch, ``**``-aware),
+    matches are fetched into ``cache_dir`` (default
+    ``$SPARK_GRAFT_HF_CACHE`` or ``~/.cache/data_quality_automated_evaluator_spark/hf``) keyed by
+    org/name/rev/file so re-reads are free. Raises ValueError for
+    malformed paths and FileNotFoundError when nothing matches."""
+    import fnmatch
+
+    m = _HF_RE.match(path)
+    if not m:
+        raise ValueError(f"not a valid hf:// dataset path: {path!r}")
+    org, name, rev, pattern = m.groups()
+    rev = rev or "main"
+    list_files = list_files or _hf_list_files
+    fetch = fetch or _hf_fetch
+    cache_dir = cache_dir or os.environ.get(
+        "SPARK_GRAFT_HF_CACHE",
+        os.path.expanduser("~/.cache/data_quality_automated_evaluator_spark/hf"),
+    )
+
+    files = list_files(org, name, rev)
+    # fnmatch's * matches '/' too, which conveniently covers ** semantics
+    rx = re.compile(fnmatch.translate(pattern))
+    matched = sorted(f for f in files if rx.match(f))
+    if not matched:
+        raise FileNotFoundError(f"no files in {org}/{name}@{rev} match {pattern!r}")
+
+    out = []
+    for f in matched:
+        dest = os.path.join(cache_dir, org, name, rev, f)
+        if not os.path.exists(dest):
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            url = f"https://huggingface.co/datasets/{org}/{name}/resolve/{rev}/{f}"
+            fetch(url, dest)
+        out.append(dest)
+    return out
+
+
 def read_source(spark: SparkSession, source: dict) -> DataFrame:
     """Read a dataset described by the ``source`` config section.
 
@@ -129,16 +206,19 @@ def read_source(spark: SparkSession, source: dict) -> DataFrame:
     # reference configs use "file_path" (handle_data.py:107); accept both
     path = source.get("path") or source["file_path"]
     fmt = source.get("file_format") or _infer_format(path)
+    if isinstance(path, str) and path.startswith("hf://"):
+        path = resolve_hf_path(path, cache_dir=source.get("hf_cache"))
+    paths = path if isinstance(path, list) else [path]
     if fmt == "csv":
         reader = spark.read.options(header=True, inferSchema=True, **options)
-        return apply_schema_overrides(reader.csv(path), overrides)
+        return apply_schema_overrides(reader.csv(paths), overrides)
     if fmt == "parquet":
         return apply_schema_overrides(
-            spark.read.options(**options).parquet(path), overrides
+            spark.read.options(**options).parquet(*paths), overrides
         )
     if fmt == "json":
         return apply_schema_overrides(
-            spark.read.options(**options).json(path), overrides
+            spark.read.options(**options).json(paths), overrides
         )
     if fmt == "xlsx":
         try:

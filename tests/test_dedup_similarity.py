@@ -240,3 +240,47 @@ def test_embedding_dup_pairs(spark, embeddings):
     assert ((pairs["id_a"] == 0) & (pairs["id_b"] == 999999)).any() or (
         (pairs["cosine"] > 0.999).any()
     )
+
+
+def test_exact_cosine_pairs_guards_driver_oom(spark, embeddings):
+    from data_quality_automated_evaluator_spark.operators.similarity import (
+        exact_cosine_pairs,
+    )
+
+    with pytest.raises(ValueError, match="embedding_dup_pairs"):
+        exact_cosine_pairs(embeddings, threshold=0.9, max_rows=1)
+
+
+def test_simhash_md5_pairs_matches_sql_oracle(spark, docs):
+    """The pure-Catalyst md5-nibble SimHash must agree bit-for-bit with
+    the DuckDB oracle generated from the same block expressions."""
+    import duckdb
+
+    from data_quality_automated_evaluator_spark.operators.dedup import (
+        simhash_md5_oracle_sql,
+        simhash_md5_pairs,
+    )
+
+    got = (
+        simhash_md5_pairs(docs, max_hamming=3)
+        .orderBy("id_a", "id_b")
+        .toPandas()
+    )
+    pdf = docs.toPandas()
+    con = duckdb.connect()
+    con.register("docs_tbl", pdf)
+    sql = simhash_md5_oracle_sql("SELECT doc_id, text FROM docs_tbl")
+    exp = con.execute(sql).df()
+    assert len(got) == len(exp) > 0
+    assert (got.values == exp.values).all()
+
+
+def test_dedup_release_cached(spark, docs):
+    from data_quality_automated_evaluator_spark.operators.dedup import release_cached
+
+    out = minhash_lsh_dedup_pairs(docs, threshold=0.3)
+    out.count()
+    cached = out._persisted_inputs
+    assert cached and cached[0].storageLevel.useMemory
+    release_cached(out)
+    assert not cached[0].storageLevel.useMemory

@@ -143,3 +143,25 @@ def test_streaming_quality(spark, tmp_path):
     o_keep = o[STATELESS_RULES].all(axis=1)
     got_s = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     assert (got_s["keep_turn"].values == o_keep.values).mean() > 0.999
+
+
+def test_wav_malformed_bits_yields_none_duration():
+    """A fmt chunk declaring bits_per_sample in 1..7 must not
+    ZeroDivisionError the task — duration degrades to None."""
+    import struct
+
+    from data_quality_automated_evaluator_spark.operators.multimodal import (
+        decode_wav_meta,
+    )
+
+    fmt_body = struct.pack("<HHIIHH", 1, 1, 16000, 16000, 1, 4)  # bits=4
+    data = b"\x00" * 64
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt_body) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    mime, rate, channels, bits, duration = decode_wav_meta(wav)
+    assert mime == "audio/wav" and rate == 16000 and bits == 4
+    assert duration is None

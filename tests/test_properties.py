@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from data_quality_automated_evaluator_spark.functions.intervals import parse_interval
@@ -21,14 +21,17 @@ TEXT = st.text(
 )
 
 # the numpy backend treats every non-ASCII byte as a \b word character
-# (the overwhelmingly common case: accented letters); parity with the
-# regex spec is over text whose non-ASCII chars ARE word characters.
+# (the overwhelmingly common case: accented letters); typographic
+# punctuation (NBSP, curly quotes, guillemets, ellipsis, dashes) is
+# normalized to ASCII before encoding, so parity with the regex spec
+# holds for it too — the alphabet includes those chars to pin it.
 REALISTIC_TEXT = st.text(
     alphabet=(
         "abcdefghijklmnopqrstuvwxyz ABCDEFGHIJKLMNOPQRSTUVWXYZ"
         "0123456789 .,!?'\"-:;()@#\n\t"
         "éèêàâçùûîôœÉÈÀÜÄÖäöüß"
         "приветмирЯЁё天好公园散步の"
+        "  ‘’“”«»…–—"
     ),
     min_size=0,
     max_size=300,
@@ -70,6 +73,8 @@ def test_perplexity_total_and_batch_invariant(texts):
 
 
 @given(st.lists(REALISTIC_TEXT, min_size=1, max_size=20))
+@example(["0Ü"])  # regression pin: pattern-longer-than-buffer negative slice
+@example(["le monde !", "c’est «bon»… l’idée — voilà"])  # typographic \b
 @settings(max_examples=50, deadline=None)
 def test_langid_numpy_matches_regex_spec(texts):
     """The vectorized byte-domain backend must reproduce the regex spec

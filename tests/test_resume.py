@@ -60,6 +60,66 @@ def test_resume_equivalence(spark, sdf, tmp_path_factory):
     assert s4["processed_partitions"] == 0
 
 
+def test_partition_discovery_uses_parquet_footers(spark, sdf, tmp_path_factory):
+    """Discovery over a parquet-backed input must come from footer
+    statistics (metadata-only), not a distinct() scan, and must cover the
+    full contiguous date range of ts."""
+    from data_quality_automated_evaluator_spark.pipeline.sinks import (
+        _parquet_footer_ts_bounds,
+    )
+
+    src = str(tmp_path_factory.mktemp("discovery") / "transcripts")
+    sdf.write.mode("overwrite").parquet(src)
+    pdf = spark.read.parquet(src)
+
+    bounds = _parquet_footer_ts_bounds(pdf, "ts")
+    assert bounds is not None, "footer path must engage for parquet input"
+    parts = QualitySink.discover_partitions(pdf)
+    truth = sorted(
+        str(r[0]) for r in
+        pdf.selectExpr("to_date(ts) d").distinct().collect()
+    )
+    # footer-derived candidates are a contiguous superset of the truth
+    assert set(truth) <= set(parts)
+    assert parts[0] == truth[0] and parts[-1] == truth[-1]
+    # non-parquet input falls back (still no shuffle — min/max agg)
+    assert _parquet_footer_ts_bounds(sdf, "ts") is None
+    assert set(truth) <= set(QualitySink.discover_partitions(sdf))
+
+
+def test_stats_incremental_and_convergent(spark, sdf, tmp_path_factory):
+    """The incremental partial-stats artifact must fold to exactly what a
+    full interval_rule_stats pass over the whole written table computes,
+    whether the run was interrupted+resumed or uninterrupted."""
+    from data_quality_automated_evaluator_spark.pipeline.quality import (
+        interval_rule_stats,
+    )
+
+    root = str(tmp_path_factory.mktemp("sink_stats"))
+    sink = QualitySink(root)
+    sink.run(sdf, batch_days=2)
+    sink.run(sdf)  # resume the rest — partials written per batch
+
+    folded = (
+        sink.read_stats(spark).toPandas().sort_values("__time_interval")
+        .reset_index(drop=True)
+    )
+    full = (
+        interval_rule_stats(sink.read_turns(spark)).toPandas()
+        .sort_values("__time_interval").reset_index(drop=True)
+    )
+    assert len(folded) == len(full) > 0
+    for col in full.columns:
+        assert (folded[col].values == full[col].values).all(), col
+    # the stats artifact on disk matches the folded view
+    stored = (
+        spark.read.parquet(sink.stats_dir).toPandas()
+        .sort_values("__time_interval").reset_index(drop=True)
+    )
+    for col in full.columns:
+        assert (stored[col].values == full[col].values).all(), col
+
+
 def test_ledger_entries_carry_lineage(spark, sdf, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("sink_lineage"))
     sink = QualitySink(root)
