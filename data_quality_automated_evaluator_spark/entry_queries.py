@@ -533,15 +533,72 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("langid_documents")  # rows-only: model scoring is not SQL-expressible
+# Planted multilingual probes for the langid oracle. Chosen so every \b
+# dictionary-word hit is adjacent only to ASCII: DuckDB's RE2 treats
+# non-ASCII as non-word while the byte-domain backend treats it as word,
+# so keeping accents/Cyrillic/CJK away from dictionary words makes the
+# two boundary definitions agree exactly; the single-char accent/script
+# class counts are position-independent and always agree.
+_LANGID_PROBES = [
+    "le chat et la mer avec des amis et chaque jour est beau é è ç û",
+    "der hund und die katze laufen mit freude am ufer entlang ä ö ü ß",
+    "привет мир это хорошо и ясно сегодня",
+    "天 好 公 园 散 步 天 好",
+    "0 1 2 3 4 ! ? . . .",
+]
+_LANGID_PROBES_SQL = " UNION ALL ".join(
+    f"SELECT '{t}' AS text" for t in _LANGID_PROBES
+)
+
+
+@register(
+    "langid_documents",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT text FROM documents
+      UNION ALL """ + _LANGID_PROBES_SQL + r"""
+    ), scored AS (
+      SELECT
+        len(regexp_extract_all(s, '\bthe\b|\band\b|\bof\b|\bis\b|\bto\b|\bwith\b|\bfor\b'))*3.0
+          + len(regexp_extract_all(s, 'th|ing|ion'))*1.0
+          + len(regexp_extract_all(s, '[a-z]'))*0.05 AS en,
+        len(regexp_extract_all(s, '[éèêàâçùûîôœ]'))*2.0
+          + len(regexp_extract_all(s, '\ble\b|\bla\b|\bles\b|\bet\b|\bde\b|\bdes\b|\bavec\b|\bchaque\b'))*3.0
+          + len(regexp_extract_all(s, '[a-z]'))*0.02 AS fr,
+        len(regexp_extract_all(s, '[äöüß]'))*2.0
+          + len(regexp_extract_all(s, '\bder\b|\bdie\b|\bdas\b|\bund\b|\bmit\b|\bjeden\b|\büber\b'))*3.0
+          + len(regexp_extract_all(s, 'sch|ung'))*1.0
+          + len(regexp_extract_all(s, '[a-z]'))*0.02 AS de,
+        len(regexp_extract_all(s, '[Ѐ-ӿ]'))*2.0 AS ru,
+        len(regexp_extract_all(s, '[一-鿿]'))*2.0 AS zh
+      FROM (SELECT lower(substr(coalesce(text, ''), 1, 400)) AS s FROM corpus)
+    ), labeled AS (
+      SELECT CASE
+        WHEN greatest(en, fr, de, ru, zh) < 0.5 THEN 'und'
+        WHEN en >= fr AND en >= de AND en >= ru AND en >= zh THEN 'en'
+        WHEN fr >= de AND fr >= ru AND fr >= zh THEN 'fr'
+        WHEN de >= ru AND de >= zh THEN 'de'
+        WHEN ru >= zh THEN 'ru'
+        ELSE 'zh' END AS lang
+      FROM scored
+    )
+    SELECT lang, count(*) AS n_docs FROM labeled GROUP BY lang ORDER BY lang
+    """,
+)
 def langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID labels + per-language counts over documents (Arrow-batched
-    char-ngram linear model)."""
+    """Language-ID labels + per-language counts over documents plus five
+    planted multilingual probes (Arrow-batched char-ngram linear model).
+    Value-checked end-to-end: the DuckDB oracle re-implements the model's
+    regex spec (functions/langid.py _FEATURES, weights, MIN_SCORE, argmax
+    tie order) in SQL — every label the vectorized byte-domain backend
+    emits must match it exactly."""
     from .pipeline.features import langid_udf
 
-    df = _t(spark, sf_dir, "documents")
+    df = _t(spark, sf_dir, "documents").select("text")
+    probes = spark.createDataFrame([(t,) for t in _LANGID_PROBES], "text string")
     return (
-        df.select(langid_udf("text").alias("lang"))
+        df.unionAll(probes)
+        .select(langid_udf("text").alias("lang"))
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang")

@@ -222,15 +222,91 @@ def read_source(spark: SparkSession, source: dict) -> DataFrame:
         )
     if fmt == "xlsx":
         try:
+            import openpyxl  # noqa: F401 — full-fidelity engine when present
+
             import pandas as pd
 
             pdf = pd.read_excel(path)
-        except ImportError as exc:  # openpyxl not installed in sandbox
-            raise NotImplementedError(
-                "xlsx reading requires openpyxl; install it or convert to csv"
-            ) from exc
+        except ImportError:  # openpyxl not installed → stdlib XLSX parser
+            pdf = _read_xlsx_stdlib(path)
         return apply_schema_overrides(spark.createDataFrame(pdf), overrides)
     raise ValueError(f"unsupported file format {fmt!r} for source {source!r}")
+
+
+def _col_index(cell_ref: str) -> int:
+    """'BC12' → 0-based column index 54."""
+    n = 0
+    for ch in cell_ref:
+        if ch.isalpha():
+            n = n * 26 + (ord(ch.upper()) - 64)
+        else:
+            break
+    return n - 1
+
+
+def _read_xlsx_stdlib(path: str):
+    """Dependency-free XLSX reader (reference handle_data.py:106,129-130
+    reads Excel natively): an .xlsx is a zip of XML — parse sharedStrings
+    + the first worksheet with the stdlib. First row is the header
+    (pandas.read_excel default). Numeric cells come back as float,
+    shared/inline strings as str; dates are raw Excel serial numbers
+    (use schema_overrides to cast). Covers the config-file-sized inputs
+    the reference reads from Excel; not a general spreadsheet engine."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    import pandas as pd
+
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    with zipfile.ZipFile(path) as zf:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in zf.namelist():
+            root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+            for si in root.findall("m:si", ns):
+                shared.append("".join(t.text or "" for t in si.iter(
+                    "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}t")))
+        sheet_names = sorted(
+            n for n in zf.namelist()
+            if n.startswith("xl/worksheets/sheet") and n.endswith(".xml")
+        )
+        if not sheet_names:
+            raise ValueError(f"no worksheets found in {path!r}")
+        root = ET.fromstring(zf.read(sheet_names[0]))
+
+    rows: list[dict[int, object]] = []
+    for row in root.iter("{http://schemas.openxmlformats.org/spreadsheetml/2006/main}row"):
+        vals: dict[int, object] = {}
+        for c in row.findall("m:c", ns):
+            ref = c.get("r", "")
+            ci = _col_index(ref) if ref else len(vals)
+            ctype = c.get("t", "n")
+            if ctype == "inlineStr":
+                is_el = c.find("m:is", ns)
+                vals[ci] = "".join(
+                    t.text or "" for t in (is_el.iter(
+                        "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}t")
+                        if is_el is not None else [])
+                )
+                continue
+            v = c.find("m:v", ns)
+            if v is None or v.text is None:
+                continue
+            if ctype == "s":
+                vals[ci] = shared[int(v.text)]
+            elif ctype in ("str", "e"):
+                vals[ci] = v.text
+            elif ctype == "b":
+                vals[ci] = bool(int(v.text))
+            else:  # numeric — uniformly float so Spark type inference is stable
+                vals[ci] = float(v.text)
+        rows.append(vals)
+
+    if not rows:
+        return pd.DataFrame()
+    width = max(max(r.keys(), default=-1) for r in rows) + 1
+    header = [str(rows[0].get(i, f"col{i}")) for i in range(width)]
+    data = [[r.get(i) for i in range(width)] for r in rows[1:]]
+    return pd.DataFrame(data, columns=header)
 
 
 def _jdbc_url(uri: str) -> str:

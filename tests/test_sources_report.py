@@ -64,6 +64,50 @@ def test_read_source_dispatch(spark, sf_dir, tmp_path):
         read_source(spark, {"path": "x.xyz"})
 
 
+def _write_min_xlsx(path, shared_xml, sheet_xml):
+    import zipfile
+
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/sharedStrings.xml", shared_xml)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet_xml)
+
+
+def test_xlsx_stdlib_reader(spark, tmp_path):
+    """XLSX reads without openpyxl via the stdlib zip+XML parser (S4):
+    shared strings, inline strings, numerics, header row."""
+    from data_quality_automated_evaluator_spark.sources.readers import (
+        _read_xlsx_stdlib,
+        read_source,
+    )
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    shared = (
+        f'<?xml version="1.0"?><sst {ns}>'
+        "<si><t>name</t></si><si><t>score</t></si>"
+        "<si><t>alice</t></si><si><t>bob</t></si></sst>"
+    )
+    sheet = (
+        f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>1.5</v></c></row>'
+        '<row r="3"><c r="A3" t="s"><v>3</v></c><c r="B3"><v>2</v></c></row>'
+        '<row r="4"><c r="A4" t="inlineStr"><is><t>carol</t></is></c>'
+        '<c r="B4"><v>3.25</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    path = str(tmp_path / "mini.xlsx")
+    _write_min_xlsx(path, shared, sheet)
+
+    pdf = _read_xlsx_stdlib(path)
+    assert list(pdf.columns) == ["name", "score"]
+    assert pdf["name"].tolist() == ["alice", "bob", "carol"]
+    assert pdf["score"].tolist() == [1.5, 2.0, 3.25]
+
+    df = read_source(spark, {"path": path, "schema_overrides": {"name": "String"}})
+    assert df.count() == 3
+    assert dict(df.dtypes)["score"] == "double"
+
+
 def test_iceberg_table_dispatch_and_write_plan(spark, sf_dir):
     """Iceberg paths, analysis-only (no runtime jar in this sandbox):
     a catalog ``table`` source resolves through spark.table (exactly what
