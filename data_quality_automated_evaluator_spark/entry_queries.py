@@ -533,6 +533,62 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Planted repetition probes: a keyword-stuffed doc and a looping doc so
+# the repetition signals take non-trivial values on synthetic data.
+_REP_PROBES = [
+    (900001, "buy now " * 40 + "limited offer"),
+    (900002, "alpha beta gamma delta " * 12),
+]
+_REP_PROBES_SQL = " UNION ALL ".join(
+    f"SELECT {i} AS doc_id, '{t}' AS text" for i, t in _REP_PROBES
+)
+
+
+@register(
+    "repetition_stats_documents",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+      FROM (
+        SELECT doc_id, text FROM documents WHERE doc_id < 200
+        UNION ALL """ + _REP_PROBES_SQL + r"""
+      )
+    ), sized AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct, w
+      FROM base
+    ), grams AS (
+      SELECT doc_id, n_words, n_distinct, w[i] || ' ' || w[i+1] AS g
+      FROM sized, UNNEST(range(1, len(w))) AS t(i)
+    ), counts AS (
+      SELECT doc_id, n_words, n_distinct, g, count(*) AS c
+      FROM grams GROUP BY doc_id, n_words, n_distinct, g
+    ), agg AS (
+      SELECT doc_id, n_words, n_distinct, max(c) AS top, sum(c) AS total
+      FROM counts GROUP BY doc_id, n_words, n_distinct
+    )
+    SELECT doc_id, n_words,
+           round((n_words - n_distinct) * 1.0 / n_words, 6) AS dup_word_frac,
+           round(top * 1.0 / total, 6) AS top_bigram_share
+    FROM agg ORDER BY doc_id
+    """,
+)
+def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (duplicate-word fraction,
+    top-bigram share) per document, over documents plus two planted
+    repetitive probes — pure Catalyst, value-checked against a DuckDB
+    re-implementation of the same word/2-gram pipeline."""
+    from .functions.textstats import repetition_stats
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter("doc_id < 200")
+    )
+    probes = spark.createDataFrame(_REP_PROBES, "doc_id long, text string")
+    return repetition_stats(docs.unionAll(probes)).orderBy("doc_id")
+
+
 # Planted multilingual probes for the langid oracle. Chosen so every \b
 # dictionary-word hit is adjacent only to ASCII: DuckDB's RE2 treats
 # non-ASCII as non-word while the byte-domain backend treats it as word,

@@ -126,3 +126,51 @@ def pandas_text_features(texts: pd.Series) -> pd.DataFrame:
         },
         index=s.index,
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition statistics (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals for training-data filtering
+    (the "repeated content" family of Gopher/C4-style quality rules):
+
+    - ``dup_word_frac``: fraction of word occurrences that are repeats
+      (1 - distinct/total) — boilerplate and keyword-stuffing detector;
+    - ``top_bigram_share``: share of the most frequent word 2-gram
+      among all 2-grams — looping/spam detector.
+
+    Pure Catalyst (split → array ops → explode → two HashAggregates);
+    exactly reproducible in SQL, so the driver oracle value-checks it.
+    At 10^12 rows the explode fan-out is ~n_words per row, all map-side
+    before the (doc-keyed, uniformly distributed) aggregations.
+    """
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(
+        F.col(id_col),
+        words.alias("w"),
+    ).select(
+        id_col,
+        F.size("w").cast("long").alias("n_words"),
+        F.size(F.array_distinct("w")).cast("long").alias("n_distinct"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w)-1),"
+                " i -> concat_ws(' ', element_at(w, i), element_at(w, i+1)))"
+            )
+        ).alias("g"),
+    )
+    counts = base.groupBy(id_col, "n_words", "n_distinct", "g").count()
+    agg = counts.groupBy(id_col, "n_words", "n_distinct").agg(
+        F.max("count").alias("top"), F.sum("count").alias("total")
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("n_words"),
+        F.round((F.col("n_words") - F.col("n_distinct")) / F.col("n_words"), 6)
+        .alias("dup_word_frac"),
+        F.round(F.col("top") / F.col("total"), 6).alias("top_bigram_share"),
+    )

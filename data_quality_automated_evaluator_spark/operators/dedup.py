@@ -306,6 +306,10 @@ def simhash_md5_pairs(
     sigs = grams.groupBy("_id").agg(
         *[F.expr(simhash_block_expr(i)).alias(f"b{i}") for i in range(4)]
     )
+    # the self-join branches this plan twice; without materialization the
+    # shingle explode + 64 partial sums run once per branch (plan-audit
+    # verified). At scale the signatures become their own table.
+    sigs = sigs.persist()
     blocks = sigs.select(
         "_id", "b0", "b1", "b2", "b3",
         F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("block_idx", "block_val"),
@@ -330,11 +334,13 @@ def simhash_md5_pairs(
     hamming = sum(
         F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"c{i}"))) for i in range(4)
     )
-    return (
+    out = (
         cands.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    out._persisted_inputs = [sigs]
+    return out
 
 
 def simhash_md5_oracle_sql(

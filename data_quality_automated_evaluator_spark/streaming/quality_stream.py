@@ -76,6 +76,34 @@ def streaming_interval_stats(
     )
 
 
+def streaming_dedup(
+    stream_df: DataFrame,
+    watermark: str = "2 hours",
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    content_hash: bool = False,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming deduplication with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and expires
+    key state once the watermark passes it — the streaming analog of the
+    batch exact-dedup shuffle, with state bounded by (event-time horizon
+    × key arrival rate) instead of the full key universe. With
+    ``content_hash=True`` the key includes a sha2 digest of the text, so
+    re-sent identical turns dedupe while edited re-sends pass through
+    (at-least-once upstream delivery → effectively-once downstream).
+    """
+    keys = list(key_cols)
+    df = stream_df
+    if content_hash:
+        df = df.withColumn(
+            "__content_digest", F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+        )
+        keys = keys + ["__content_digest"]
+    out = df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return out.drop("__content_digest") if content_hash else out
+
+
 def streaming_conversation_flags(
     quality_stream: DataFrame,
     window: str = "1 day",

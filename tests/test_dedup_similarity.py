@@ -284,3 +284,43 @@ def test_dedup_release_cached(spark, docs):
     assert cached and cached[0].storageLevel.useMemory
     release_cached(out)
     assert not cached[0].storageLevel.useMemory
+
+
+def test_repetition_stats_matches_sql_oracle(spark, docs):
+    """Gopher-style repetition signals agree exactly with the DuckDB
+    re-implementation of the same word/2-gram pipeline."""
+    import duckdb
+
+    from data_quality_automated_evaluator_spark.functions.textstats import repetition_stats
+
+    got = repetition_stats(docs).orderBy("doc_id").toPandas()
+    con = duckdb.connect()
+    con.register("d", docs.toPandas())
+    exp = con.execute(r"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM d
+    ), sized AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct, w FROM base
+    ), grams AS (
+      SELECT doc_id, n_words, n_distinct, w[i] || ' ' || w[i+1] AS g
+      FROM sized, UNNEST(range(1, len(w))) AS t(i)
+    ), counts AS (
+      SELECT doc_id, n_words, n_distinct, g, count(*) AS c
+      FROM grams GROUP BY doc_id, n_words, n_distinct, g
+    ), agg AS (
+      SELECT doc_id, n_words, n_distinct, max(c) AS top, sum(c) AS total
+      FROM counts GROUP BY doc_id, n_words, n_distinct
+    )
+    SELECT doc_id, n_words,
+           round((n_words - n_distinct) * 1.0 / n_words, 6) AS dup_word_frac,
+           round(top * 1.0 / total, 6) AS top_bigram_share
+    FROM agg ORDER BY doc_id
+    """).df()
+    assert len(got) == len(exp) > 0
+    assert (got.values == exp.values).all()
+    # a literally repeated doc scores near-total duplication
+    rep = repetition_stats(
+        spark.createDataFrame([(1, "spam ham " * 20)], "doc_id long, text string")
+    ).first()
+    assert rep["dup_word_frac"] > 0.9 and rep["top_bigram_share"] > 0.4

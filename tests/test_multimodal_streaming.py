@@ -165,3 +165,36 @@ def test_wav_malformed_bits_yields_none_duration():
     mime, rate, channels, bits, duration = decode_wav_meta(wav)
     assert mime == "audio/wav" and rate == 16000 and bits == 4
     assert duration is None
+
+
+def test_streaming_dedup_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark dedupes re-delivered turns across
+    micro-batches with watermark-bounded key state."""
+    from data_quality_automated_evaluator_spark.streaming.quality_stream import (
+        streaming_dedup,
+    )
+    from data_quality_automated_evaluator_spark.testdata import generate_transcripts
+
+    src_dir = tmp_path / "dedup_src"
+    src_dir.mkdir()
+    pdf = generate_transcripts(n_convs=40, seed=5)
+    sdf = spark.createDataFrame(pdf)
+    # file 1: originals; file 2: redelivery of half the turns
+    sdf.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "b1"))
+    sdf.limit(len(pdf) // 2).coalesce(1).write.mode("overwrite").parquet(
+        str(src_dir / "b2")
+    )
+
+    stream = spark.readStream.schema(sdf.schema).option(
+        "recursiveFileLookup", "true").parquet(str(src_dir))
+    out = streaming_dedup(stream, watermark="365 days")
+    q = (
+        out.select("conv_id", "turn_idx")
+        .writeStream.format("memory").queryName("dedup_q")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from dedup_q").toPandas()
+    # every (conv_id, turn_idx) exactly once despite redelivery
+    assert len(got) == len(pdf)
+    assert not got.duplicated(["conv_id", "turn_idx"]).any()
