@@ -16,6 +16,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .operators.dedup import fingerprint_oracle_sql as _fp_oracle
+from .operators.dedup import simhash_md5_oracle_sql as _simhash_oracle
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
@@ -533,6 +536,34 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH_BASE_SQL = """
+      SELECT doc_id, text FROM documents WHERE doc_id < 500
+      UNION ALL
+      SELECT doc_id + 100000, text || ' tail' FROM documents WHERE doc_id < 50"""
+
+
+@register("fingerprint_candidates_documents", oracle=_fp_oracle(_SIMHASH_BASE_SQL))
+def fingerprint_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-k md5 document fingerprints + containment-candidate pairs
+    (≥4 of 8 sketch entries shared) over documents with planted mutated
+    copies — pure Catalyst, value-checked against the identical DuckDB
+    md5/sort/slice construction."""
+    from .operators.dedup import fingerprint_overlap_pairs
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id", "text").filter("doc_id < 500")
+    )
+    mutated = (
+        docs.filter(F.col("doc_id") < 50)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    )
+    return (
+        fingerprint_overlap_pairs(docs.unionAll(mutated), min_shared=4)
+        .orderBy("id_a", "id_b")
+    )
+
+
 # Planted repetition probes: a keyword-stuffed doc and a looping doc so
 # the repetition signals take non-trivial values on synthetic data.
 _REP_PROBES = [
@@ -967,14 +998,6 @@ def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
-
-
-from .operators.dedup import simhash_md5_oracle_sql as _simhash_oracle
-
-_SIMHASH_BASE_SQL = """
-      SELECT doc_id, text FROM documents WHERE doc_id < 500
-      UNION ALL
-      SELECT doc_id + 100000, text || ' tail' FROM documents WHERE doc_id < 50"""
 
 
 @register("simhash_near_dup_pairs", oracle=_simhash_oracle(_SIMHASH_BASE_SQL))

@@ -381,6 +381,95 @@ def simhash_md5_oracle_sql(
 
 
 # ---------------------------------------------------------------------------
+# Document fingerprinting, pure-Catalyst variant (min-k md5 gram hashes)
+# ---------------------------------------------------------------------------
+
+def fingerprint_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_gram: int = 8,
+    size: int = 8,
+) -> DataFrame:
+    """Winnowing-style document fingerprint: the ``size`` lexicographically
+    smallest md5 hashes of the document's distinct ``k_gram``-char grams
+    (min-k sketch). Identical documents get identical fingerprints;
+    near-identical documents share most entries — a compact containment
+    key. Pure Catalyst and exactly SQL-reproducible (md5 + sort + slice),
+    unlike the numpy :func:`rolling_fingerprint_batch` whose splitmix64
+    hashes have no SQL counterpart. Returns (id, fp: array<string>).
+    """
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(length({text_col})-{k_gram - 1}, 1)),"
+                    f" i -> substr({text_col}, i, {k_gram}))"
+                )
+            )
+        ).alias("_g"),
+    ).select("_id", F.md5("_g").alias("h"))
+    return grams.groupBy("_id").agg(
+        F.slice(F.sort_array(F.collect_set("h")), 1, size).alias("fp")
+    )
+
+
+def fingerprint_overlap_pairs(
+    df: DataFrame,
+    min_shared: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_gram: int = 8,
+    size: int = 8,
+) -> DataFrame:
+    """Containment-candidate pairs: documents sharing ≥ ``min_shared`` of
+    their ``size`` fingerprint entries. The entry equijoin touches only
+    docs sharing a sketch hash — never all pairs; at scale the sketch
+    table is tiny (size × 32 bytes per doc) and the join keys are
+    uniformly distributed md5 prefixes (no skew by construction)."""
+    sigs = fingerprint_md5(df, text_col, id_col, k_gram, size).persist()
+    entries = sigs.select("_id", F.explode("fp").alias("h"))
+    a = entries.select(F.col("_id").alias("id_a"), "h")
+    b = entries.select(F.col("_id").alias("id_b"), "h")
+    out = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    out._persisted_inputs = [sigs]
+    return out
+
+
+def fingerprint_oracle_sql(
+    base_sql: str, min_shared: int = 4, k_gram: int = 8, size: int = 8
+) -> str:
+    """DuckDB oracle for :func:`fingerprint_overlap_pairs` over
+    ``base_sql`` (a SELECT yielding doc_id, text) — same md5 min-k
+    construction, so fingerprints agree byte-for-byte."""
+    return f"""
+    WITH base AS ({base_sql}
+    ), grams AS (
+      SELECT DISTINCT doc_id, md5(substr(text, i, {k_gram})) AS h
+      FROM base, UNNEST(range(1, greatest(length(text)-{k_gram - 1}, 1)+1)) AS t(i)
+    ), sigs AS (
+      SELECT doc_id, (list_sort(list(h)))[1:{size}] AS fp
+      FROM grams GROUP BY doc_id
+    ), entries AS (
+      SELECT doc_id, unnest(fp) AS h FROM sigs
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+    FROM entries a JOIN entries b USING (h)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {min_shared}
+    ORDER BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------------------
 # exact n-gram Jaccard (DataFrame-native, oracle-checkable)
 # ---------------------------------------------------------------------------
 

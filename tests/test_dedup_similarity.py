@@ -324,3 +324,31 @@ def test_repetition_stats_matches_sql_oracle(spark, docs):
         spark.createDataFrame([(1, "spam ham " * 20)], "doc_id long, text string")
     ).first()
     assert rep["dup_word_frac"] > 0.9 and rep["top_bigram_share"] > 0.4
+
+
+def test_fingerprint_overlap_matches_sql_oracle(spark, docs):
+    """Min-k md5 fingerprints and containment candidates agree exactly
+    with the DuckDB construction; identical docs share all entries."""
+    import duckdb
+
+    from data_quality_automated_evaluator_spark.operators.dedup import (
+        fingerprint_oracle_sql,
+        fingerprint_overlap_pairs,
+    )
+
+    got = (
+        fingerprint_overlap_pairs(docs, min_shared=4)
+        .orderBy("id_a", "id_b")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("d", docs.toPandas())
+    exp = con.execute(
+        fingerprint_oracle_sql("SELECT doc_id, text FROM d", min_shared=4)
+    ).df()
+    assert len(got) == len(exp) > 0
+    assert (got.values == exp.values).all()
+    # planted exact dups (ids 2i, 2i+1 for the base docs) share all 8
+    full = got[got["n_shared"] == 8]
+    pairs = set(zip(full["id_a"], full["id_b"]))
+    assert {(0, 1), (3, 4), (6, 7), (9, 10), (12, 13)} <= pairs
