@@ -433,6 +433,47 @@ def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ANN_QUERY_VEC = [float(i % 7 - 3) for i in range(64)]
+# three deterministic probe vectors for the batched-query ANN row
+_ANN_MULTI_QUERIES = [
+    (qid, [float((i * qid + qid) % 7 - 3) for i in range(64)]) for qid in (1, 2, 3)
+]
+_ANN_MULTI_VALUES_SQL = ", ".join(
+    f"({qid}, {vec!r}::DOUBLE[])" for qid, vec in _ANN_MULTI_QUERIES
+)
+
+
+@register(
+    "ann_multi_query_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT * FROM (VALUES {_ANN_MULTI_VALUES_SQL}) AS t(query_id, qvec)
+    ), scored AS (
+      SELECT query_id, vec_id,
+             list_cosine_similarity(CAST(embedding AS DOUBLE[]), qvec) AS c
+      FROM embeddings, q
+    ), ranked AS (
+      SELECT query_id, vec_id, round(c, 6) AS cosine,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY c DESC, vec_id) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rank
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def ann_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact ANN: top-5 per query for three probe vectors in ONE
+    corpus scan (broadcast query set + per-query ranking window) —
+    the dedup-against-a-reference-set shape. Value-checked against
+    DuckDB's cosine + window ranking."""
+    from .operators.similarity import multi_query_topk
+
+    df = _t(spark, sf_dir, "embeddings")
+    return (
+        multi_query_topk(df, _ANN_MULTI_QUERIES, k=5)
+        .withColumn("cosine", F.round("cosine", 6))
+        .orderBy("query_id", "rank")
+    )
 
 
 @register(

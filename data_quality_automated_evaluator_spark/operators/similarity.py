@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -56,6 +56,37 @@ def brute_force_topk(
         df.select(F.col(id_col), sim.alias("cosine"))
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
+    )
+
+
+def multi_query_topk(
+    df: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k for a BATCH of query vectors in one pass.
+
+    The query set rides as a broadcast cross join (tiny build side, no
+    shuffle of the big table); ranking is a window partitioned by
+    query_id — one exchange keyed by query_id over only (query_id, id,
+    cosine) rows. This is the shape for deduping a corpus against a
+    reference set: one scan of the corpus regardless of |queries|.
+    Returns (query_id, vec_id, cosine, rank ≤ k).
+    """
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in v]) for qid, v in queries],
+        "query_id int, qvec array<double>",
+    )
+    sim = cosine_col(F.col(vec_col).cast("array<double>"), F.col("qvec"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        df.crossJoin(F.broadcast(qdf))
+        .select("query_id", F.col(id_col), sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )
 
 

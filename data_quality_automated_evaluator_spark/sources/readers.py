@@ -186,11 +186,16 @@ def read_source(spark: SparkSession, source: dict) -> DataFrame:
             hconf.set(cred_map[k], str(v))
 
     if "uri" in source or source.get("file_format") in ("jdbc", "postgresql"):
-        reader = (
-            spark.read.format("jdbc")
-            .option("url", _jdbc_url(source.get("uri", "")))
-            .option("query", source["query"])
+        reader = spark.read.format("jdbc").option(
+            "url", _jdbc_url(source.get("uri", ""))
         )
+        # reference configs carry a SQL "query"; "dbtable" is accepted for
+        # drivers whose subquery-alias syntax rejects Spark's generated
+        # wrapper (e.g. embedded Derby)
+        if "dbtable" in source:
+            reader = reader.option("dbtable", source["dbtable"])
+        else:
+            reader = reader.option("query", source["query"])
         for k, v in options.items():
             reader = reader.option(k, v)
         return apply_schema_overrides(reader.load(), overrides)

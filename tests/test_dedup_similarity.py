@@ -352,3 +352,27 @@ def test_fingerprint_overlap_matches_sql_oracle(spark, docs):
     full = got[got["n_shared"] == 8]
     pairs = set(zip(full["id_a"], full["id_b"]))
     assert {(0, 1), (3, 4), (6, 7), (9, 10), (12, 13)} <= pairs
+
+
+def test_multi_query_topk_matches_per_query_brute_force(spark, embeddings):
+    """One-scan batched top-k equals running brute_force_topk per query."""
+    from data_quality_automated_evaluator_spark.operators.similarity import (
+        brute_force_topk,
+        multi_query_topk,
+    )
+
+    pdf = embeddings.toPandas()
+    queries = [
+        (1, list(map(float, pdf.iloc[0]["embedding"]))),
+        (2, list(map(float, pdf.iloc[7]["embedding"]))),
+    ]
+    got = (
+        multi_query_topk(embeddings, queries, k=5)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    for qid, vec in queries:
+        solo = brute_force_topk(embeddings, vec, k=5).toPandas()
+        part = got[got["query_id"] == qid].reset_index(drop=True)
+        assert part["vec_id"].tolist() == solo["vec_id"].tolist()
+        assert (part["cosine"].values == solo["cosine"].values).all()
