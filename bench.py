@@ -184,11 +184,16 @@ def main() -> None:
     # warm the JVM/Arrow paths so per-query numbers measure the plan, not init
     spark.read.parquet(f"{SF_DIR}/events.parquet").count()
 
+    from data_quality_automated_evaluator_spark.operators.dedup import release_cached
+
     for name, fn in sorted(entrymod.queries().items()):
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         queries_sec[name] = round(time.perf_counter() - t0, 3)
+        # drop any operator-persisted inputs (signature/broadcast blocks)
+        # so a long bench session doesn't accumulate cached partitions
+        release_cached(df)
 
     # quality pipeline at full parallelism
     pipe_sec, n_turns = _run_pipeline(spark, data_path)

@@ -141,6 +141,11 @@ def make_charts(
     x = data[TIME_INTERVAL_COL]
     if fmt is None:
         fmt = "png" if HAVE_MPL else "svg"
+    if fmt == "png" and not HAVE_MPL:
+        # an explicit png request without matplotlib degrades to the next
+        # IMAGE format, not to a data file a report would embed as a
+        # broken <img>
+        fmt = "svg"
 
     if fmt == "svg":
         return render_svg(data, evaluations, os.path.join(out_dir, f"{group_name}.svg"))

@@ -47,6 +47,16 @@ def _round_doubles(df: DataFrame, digits: int = 6) -> DataFrame:
     return df.select(*exprs)
 
 
+
+def _carry_cached(outer: DataFrame, inner: DataFrame) -> DataFrame:
+    """Propagate the operator's caller-owned cleanup hook through the
+    .select()/.orderBy() wrappers (plain Python attributes do not survive
+    DataFrame transformations); dedup.release_cached(result) then works on
+    what queries() hands back."""
+    outer._persisted_inputs = getattr(inner, "_persisted_inputs", [])
+    return outer
+
+
 @register("quality_pipeline_transcripts")  # rows-only: needs the transcripts
 def quality_pipeline_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship graft pipeline end-to-end on a deterministic
@@ -517,10 +527,11 @@ def embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import exact_cosine_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    return (
-        exact_cosine_pairs(e, threshold=0.5)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
-        .orderBy("id_a", "id_b")
+    inner = exact_cosine_pairs(e, threshold=0.5)
+    return _carry_cached(
+        inner.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("id_a", "id_b"),
+        inner,
     )
 
 
@@ -568,12 +579,13 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("doc_id", F.col("doc_id") + 100000)
         .withColumn("text", F.concat(F.col("text"), F.lit(" extra tail words")))
     )
-    return (
-        minhash_lsh_dedup_pairs(
-            docs.unionAll(mutated), threshold=0.6, num_perm=64, bands=32
-        )
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-        .orderBy("id_a", "id_b")
+    inner = minhash_lsh_dedup_pairs(
+        docs.unionAll(mutated), threshold=0.6, num_perm=64, bands=32
+    )
+    return _carry_cached(
+        inner.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b"),
+        inner,
     )
 
 
@@ -599,10 +611,8 @@ def fingerprint_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFr
         .withColumn("doc_id", F.col("doc_id") + 100000)
         .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
     )
-    return (
-        fingerprint_overlap_pairs(docs.unionAll(mutated), min_shared=4)
-        .orderBy("id_a", "id_b")
-    )
+    inner = fingerprint_overlap_pairs(docs.unionAll(mutated), min_shared=4)
+    return _carry_cached(inner.orderBy("id_a", "id_b"), inner)
 
 
 # Planted repetition probes: a keyword-stuffed doc and a looping doc so
@@ -1061,7 +1071,5 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("doc_id", F.col("doc_id") + 100000)
         .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
     )
-    return (
-        simhash_md5_pairs(docs.unionAll(mutated), max_hamming=3)
-        .orderBy("id_a", "id_b")
-    )
+    inner = simhash_md5_pairs(docs.unionAll(mutated), max_hamming=3)
+    return _carry_cached(inner.orderBy("id_a", "id_b"), inner)

@@ -156,10 +156,14 @@ def repetition_stats(
         id_col,
         F.size("w").cast("long").alias("n_words"),
         F.size(F.array_distinct("w")).cast("long").alias("n_distinct"),
+        # size(w) < 2 → no bigrams → doc drops out (matching the oracle's
+        # empty range()); the naive sequence(1, size-1) would DESCEND for
+        # size 1 ([1,0]) and crash element_at on the out-of-bounds index
         F.explode(
             F.expr(
-                "transform(sequence(1, size(w)-1),"
+                "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w)-1),"
                 " i -> concat_ws(' ', element_at(w, i), element_at(w, i+1)))"
+                " ELSE array() END"
             )
         ).alias("g"),
     )

@@ -213,17 +213,22 @@ def exact_cosine_pairs(
     the (id_a < id_b, cos ≥ t) survivors. Cost: O(n²·d) SIMD flops, no
     pair-wise shuffle at all.
     """
-    n_rows = df.count()
-    if n_rows > max_rows:
+    # single-pass size guard: collect at most max_rows+1 rows — one extra
+    # row proves the cap is exceeded without a separate count() scan
+    pdf = (
+        df.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+        )
+        .limit(max_rows + 1)
+        .toPandas()
+    )
+    if len(pdf) > max_rows:
         raise ValueError(
-            f"exact_cosine_pairs is the small-table exact baseline: input has "
-            f"{n_rows} rows > max_rows={max_rows}; collecting it would OOM the "
+            f"exact_cosine_pairs is the small-table exact baseline: input "
+            f"exceeds max_rows={max_rows}; collecting it would OOM the "
             f"driver. Use embedding_dup_pairs (LSH prefilter) or the IVF ANN "
             f"path for large tables."
         )
-    pdf = df.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
-    ).toPandas()
     ids = pdf["_id"].to_numpy(dtype=np.int64)
     M = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
     norms = np.linalg.norm(M, axis=1)
@@ -252,9 +257,10 @@ def exact_cosine_pairs(
     )
     out = probe.mapInPandas(gen, schema="id_a long, id_b long, cosine double")
     # the broadcast must outlive execution of the (lazy) result, so it is
-    # handed to the caller for cleanup: out._exact_pairs_broadcast.destroy()
-    # after the consuming action releases executor + driver memory.
-    out._exact_pairs_broadcast = bcast
+    # handed to the caller for cleanup via the same hook the dedup
+    # operators use (Broadcast.unpersist duck-types with
+    # DataFrame.unpersist): dedup.release_cached(out) after the action.
+    out._persisted_inputs = [bcast]
     return out
 
 

@@ -39,6 +39,10 @@ OUTPUT_COLUMNS = ["conv_id", "turn_idx", "role", "tool", "ts", "keep",
 # footer reads go driver-side below this many files, RDD-distributed above
 _FOOTER_DRIVER_MAX_FILES = 64
 
+# contiguous-range discovery caps out here (≈27 years of daily partitions);
+# beyond it one outlier timestamp is the likely cause → exact distinct scan
+_MAX_DISCOVERY_DATES = 10_000
+
 
 def _footer_minmax_one(path: str, col: str):
     """(min, max) of ``col`` from one parquet file's footer statistics.
@@ -108,6 +112,23 @@ class QualitySink:
         self.stats_partials_dir = os.path.join(root, "stats_partials")
         self.ledger_dir = os.path.join(root, "ledger")
 
+    def _partials_dir(self, time_interval: str) -> str:
+        """Partials tree for one bucket granularity — intervals never mix."""
+        return os.path.join(self.stats_partials_dir, time_interval)
+
+    @staticmethod
+    def _partial_dates(pdir: str) -> set[str]:
+        """part_dates already present in a partials tree (filesystem
+        listing; on object stores / Iceberg this is the catalog's
+        partition metadata)."""
+        if not os.path.isdir(pdir):
+            return set()
+        return {
+            d.split("=", 1)[1]
+            for d in os.listdir(pdir)
+            if d.startswith("part_date=")
+        }
+
     # -- ledger ------------------------------------------------------------
     def completed_partitions(self) -> set[str]:
         if not os.path.isdir(self.ledger_dir):
@@ -147,21 +168,41 @@ class QualitySink:
            pruned scan with map-side partial aggregation and no shuffle.
 
         The contiguous [min_date, max_date] range is the candidate set; a
-        date inside the range with no rows processes to an empty
-        (idempotent) partition once and is ledgered with zero counts.
+        date inside the range with no rows is processed as empty but NOT
+        ledgered, so late-arriving data for it is still picked up by a
+        later run. If the range spans more than ``_MAX_DISCOVERY_DATES``
+        (one corrupt epoch-0 or far-future timestamp would otherwise
+        explode the candidate set), discovery falls back to the exact
+        distinct-date scan — correctness over cheapness for dirty input.
+
+        Timezone note: dates are derived via ``to_date(ts)`` IN SPARK
+        (session timezone, UTC) — never via driver-side ``.date()`` on a
+        collected naive timestamp, which PySpark renders in the driver
+        OS timezone and can shift boundary partitions on non-UTC hosts.
         """
         import datetime as _dt
 
         bounds = _parquet_footer_ts_bounds(df, "ts")
         if bounds is None:
-            row = df.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+            row = df.agg(
+                F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+            ).first()
             if row is None or row["lo"] is None:
                 return []
-            bounds = (row["lo"], row["hi"])
-        lo, hi = bounds[0].date(), bounds[1].date()
-        return [
-            str(lo + _dt.timedelta(days=i)) for i in range((hi - lo).days + 1)
-        ]
+            lo, hi = row["lo"], row["hi"]
+        else:
+            # footer stats are tz-aware UTC — consistent with session UTC
+            lo, hi = bounds[0].date(), bounds[1].date()
+        n_dates = (hi - lo).days + 1
+        if n_dates > _MAX_DISCOVERY_DATES:
+            return [
+                str(r[0])
+                for r in df.select(F.to_date("ts").alias("d"))
+                .distinct()
+                .orderBy("d")
+                .collect()
+            ]
+        return [str(lo + _dt.timedelta(days=i)) for i in range(n_dates)]
 
     # -- main entry ----------------------------------------------------------
     def run(
@@ -218,11 +259,26 @@ class QualitySink:
         # uninterrupted run would produce.
         all_written = spark.read.parquet(self.turns_dir)
         written = all_written.filter(F.col("part_date").isin(pending))
+        pdir = self._partials_dir(time_interval)
         partials = interval_rule_partials(written, time_interval)
         partials.repartition("part_date").write.mode("overwrite").partitionBy(
             "part_date"
-        ).parquet(self.stats_partials_dir)
-        stats = combine_rule_partials(spark.read.parquet(self.stats_partials_dir))
+        ).parquet(pdir)
+        # partials are keyed by bucket granularity: a run with a NEW
+        # time_interval starts a fresh partials tree, and partitions
+        # completed under a different interval are backfilled ONCE here
+        # (a scan bounded to those partitions) instead of silently mixing
+        # granularities in one artifact
+        have = self._partial_dates(pdir)
+        missing = sorted(set(done) - have)
+        if missing:
+            backfill = interval_rule_partials(
+                all_written.filter(F.col("part_date").isin(missing)), time_interval
+            )
+            backfill.repartition("part_date").write.mode("overwrite").partitionBy(
+                "part_date"
+            ).parquet(pdir)
+        stats = combine_rule_partials(spark.read.parquet(pdir))
         stats.write.mode("overwrite").parquet(self.stats_dir)
         metrics = (
             written.groupBy("part_date")
@@ -237,17 +293,17 @@ class QualitySink:
         wall = time.perf_counter() - t0
         total_turns = 0
         total_keep = 0
-        by_date = {str(row["part_date"]): row for row in metrics}
-        for part in pending:
-            row = by_date.get(part)
+        # only dates that actually produced rows are ledgered: a candidate
+        # date that was empty THIS run stays un-ledgered, so late-arriving
+        # / backfilled data for it is processed by a later run (the empty
+        # re-check costs one no-op partition filter, not a rescan)
+        for row in metrics:
             entry = {
-                "part_date": part,
-                # a candidate date inside the min/max range with no rows is
-                # still ledgered (zeros) so resume never reprocesses it
-                "n_turns": row["n_turns"] if row else 0,
-                "n_keep": row["n_keep"] if row else 0,
-                "n_convs": row["n_convs"] if row else 0,
-                "scrubbed_chars": row["scrubbed_chars"] if row else 0,
+                "part_date": str(row["part_date"]),
+                "n_turns": row["n_turns"],
+                "n_keep": row["n_keep"],
+                "n_convs": row["n_convs"],
+                "scrubbed_chars": row["scrubbed_chars"],
                 "run_wall_sec": round(wall, 3),
                 "thresholds": thresholds.__dict__ | {
                     "allowed_langs": list(thresholds.allowed_langs)
@@ -259,7 +315,7 @@ class QualitySink:
             total_keep += entry["n_keep"]
 
         return {
-            "processed_partitions": len(pending),
+            "processed_partitions": len(metrics),
             "skipped_partitions": len(done),
             "n_turns": total_turns,
             "n_keep": total_keep,
@@ -269,11 +325,13 @@ class QualitySink:
     def read_turns(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.turns_dir)
 
-    def read_stats(self, spark: SparkSession) -> DataFrame:
-        """Combined interval stats, folded from the per-partition partials
-        (equivalent to interval_rule_stats over the whole written table,
-        without scanning it)."""
-        return combine_rule_partials(spark.read.parquet(self.stats_partials_dir))
+    def read_stats(self, spark: SparkSession, time_interval: str = "1d") -> DataFrame:
+        """Combined interval stats at one granularity, folded from the
+        per-partition partials (equivalent to interval_rule_stats over the
+        whole written table, without scanning it)."""
+        return combine_rule_partials(
+            spark.read.parquet(self._partials_dir(time_interval))
+        )
 
 
 def write_iceberg(result: DataFrame, table: str) -> None:

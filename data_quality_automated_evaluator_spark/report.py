@@ -125,7 +125,10 @@ def make_report(
             return ""
         from .charts import make_charts
 
-        fmt = (config.get("plotly") or config.get("charts") or {}).get("format")
+        section = config.get("plotly") or config.get("charts")
+        # a bare boolean toggle ("plotly": true) is a valid way to turn
+        # charts on — only dict sections carry options
+        fmt = section.get("format") if isinstance(section, dict) else None
         path = make_charts(
             aggregate[[TIME_INTERVAL_COL] + cols], evals, charts_dir, slug, fmt=fmt
         )

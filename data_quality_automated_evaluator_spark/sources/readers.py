@@ -150,9 +150,17 @@ def resolve_hf_path(
     if not matched:
         raise FileNotFoundError(f"no files in {org}/{name}@{rev} match {pattern!r}")
 
+    # the listing is REMOTE UNTRUSTED CONTENT: a path with '..' (or an
+    # absolute path, or a '..' org/name/rev) must not escape the cache
+    root = os.path.realpath(os.path.join(cache_dir, org, name, rev))
+    cache_root = os.path.realpath(cache_dir)
+    if os.path.commonpath([cache_root, root]) != cache_root:
+        raise ValueError(f"hf path components escape the cache: {org}/{name}@{rev}")
     out = []
     for f in matched:
-        dest = os.path.join(cache_dir, org, name, rev, f)
+        dest = os.path.realpath(os.path.join(root, f))
+        if os.path.commonpath([root, dest]) != root:
+            raise ValueError(f"hf listing entry escapes the cache dir: {f!r}")
         if not os.path.exists(dest):
             os.makedirs(os.path.dirname(dest), exist_ok=True)
             url = f"https://huggingface.co/datasets/{org}/{name}/resolve/{rev}/{f}"

@@ -376,3 +376,33 @@ def test_multi_query_topk_matches_per_query_brute_force(spark, embeddings):
         part = got[got["query_id"] == qid].reset_index(drop=True)
         assert part["vec_id"].tolist() == solo["vec_id"].tolist()
         assert (part["cosine"].values == solo["cosine"].values).all()
+
+
+def test_repetition_stats_short_doc_safe(spark):
+    """Single-word/empty/null docs drop out (oracle parity) instead of
+    crashing element_at on the descending sequence."""
+    from data_quality_automated_evaluator_spark.functions.textstats import repetition_stats
+
+    out = repetition_stats(
+        spark.createDataFrame(
+            [(1, "hello"), (2, ""), (3, "a b a b"), (4, None)],
+            "doc_id long, text string",
+        )
+    ).collect()
+    assert [(r["doc_id"], r["n_words"]) for r in out] == [(3, 4)]
+
+
+def test_entry_queries_carry_cleanup_hook(spark, sf_dir):
+    """queries() results keep the caller-owned cache-cleanup hook even
+    though the registry wraps operator outputs in select/orderBy."""
+    import __spark_entry__ as e
+
+    df = e.queries()["minhash_near_dup_pairs"](spark, sf_dir)
+    cached = getattr(df, "_persisted_inputs", [])
+    assert cached, "hook lost through the query wrapper"
+    from data_quality_automated_evaluator_spark.operators.dedup import release_cached
+
+    df.count()
+    assert cached[0].storageLevel.useMemory
+    release_cached(df)
+    assert not cached[0].storageLevel.useMemory

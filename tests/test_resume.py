@@ -131,3 +131,59 @@ def test_ledger_entries_carry_lineage(spark, sdf, tmp_path_factory):
                 "run_wall_sec", "thresholds", "completed_at"]:
         assert key in entry, key
     assert entry["n_turns"] > 0
+
+
+def test_stats_interval_change_no_granularity_mixing(spark, sdf, tmp_path_factory):
+    """Switching time_interval between runs must NOT mix bucket
+    granularities: each interval gets its own partials tree, and
+    partitions completed under the old interval are backfilled once."""
+    from data_quality_automated_evaluator_spark.pipeline.quality import (
+        interval_rule_stats,
+    )
+
+    root = str(tmp_path_factory.mktemp("sink_iv"))
+    sink = QualitySink(root)
+    sink.run(sdf, time_interval="1d", batch_days=2)
+    sink.run(sdf, time_interval="1h")  # rest of the partitions, NEW interval
+
+    hourly = (
+        sink.read_stats(spark, "1h").toPandas()
+        .sort_values("__time_interval").reset_index(drop=True)
+    )
+    full = (
+        interval_rule_stats(sink.read_turns(spark), "1h").toPandas()
+        .sort_values("__time_interval").reset_index(drop=True)
+    )
+    # the hourly artifact covers the WHOLE table (old-interval partitions
+    # were backfilled) and matches a full recompute exactly
+    assert len(hourly) == len(full) > 0
+    for col in full.columns:
+        assert (hourly[col].values == full[col].values).all(), col
+    # the daily tree still folds to pure-daily buckets for its partitions
+    daily = sink.read_stats(spark, "1d").toPandas()
+    assert len(daily) > 0
+
+
+def test_backfill_of_initially_empty_date(spark, sdf, tmp_path_factory):
+    """A date inside the range that has no rows yet must stay un-ledgered
+    so late-arriving data for it is processed by a later run."""
+    from pyspark.sql import functions as F
+
+    dates = sorted(
+        str(r[0]) for r in sdf.selectExpr("to_date(ts) d").distinct().collect()
+    )
+    hole = dates[len(dates) // 2]
+    first = sdf.filter(F.to_date("ts") != hole)
+
+    root = str(tmp_path_factory.mktemp("sink_backfill"))
+    sink = QualitySink(root)
+    s1 = sink.run(first)
+    assert hole not in sink.completed_partitions()
+    assert s1["processed_partitions"] == len(dates) - 1
+
+    # the hole's data "arrives" — a rerun with the full source picks it up
+    s2 = sink.run(sdf)
+    assert s2["processed_partitions"] == 1
+    assert hole in sink.completed_partitions()
+    got = sink.read_turns(spark).selectExpr("to_date(ts) d").distinct().count()
+    assert got == len(dates)

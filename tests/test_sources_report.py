@@ -264,3 +264,58 @@ def test_pyfiles_zip(tmp_path):
     assert "data_quality_automated_evaluator_spark/app.py" in names
     assert "data_quality_automated_evaluator_spark/pipeline/quality.py" in names
     assert not any("__pycache__" in n for n in names)
+
+
+def test_hf_listing_traversal_rejected(tmp_path):
+    """A malicious Hub listing entry with '..' must not escape the cache."""
+    from data_quality_automated_evaluator_spark.sources.readers import resolve_hf_path
+
+    def bad_list(org, name, rev):
+        return ["../../../../etc/evil.parquet", "data/ok.parquet"]
+
+    def fake_fetch(url, dest):
+        open(dest, "w").write("x")
+
+    with pytest.raises(ValueError, match="escapes the cache"):
+        resolve_hf_path(
+            "hf://datasets/acme/corpus/*.parquet",
+            cache_dir=str(tmp_path / "hf"),
+            list_files=bad_list, fetch=fake_fetch,
+        )
+
+
+def test_charts_png_without_mpl_degrades_to_svg(tmp_path):
+    """An explicit png request without matplotlib must yield an IMAGE
+    (svg), never a data file a report would embed as a broken <img>."""
+    import pandas as pd
+
+    from data_quality_automated_evaluator_spark import charts as ch
+    from data_quality_automated_evaluator_spark.operators.evaluate import ColumnEvaluation
+
+    if ch.HAVE_MPL:
+        pytest.skip("matplotlib present; png path is real")
+    data = pd.DataFrame({"__time_interval": ["a", "b"], "x": [1.0, 2.0]})
+    ev = ColumnEvaluation(
+        column="x", title="x", mean=1.5, std=0.5, q1=1.0, q3=2.0, min=1.0,
+        max=2.0, iqr_lb=0.5, iqr_ub=2.5, n_intervals=2, n_outliers_iqr=0,
+        pct_outliers_iqr=0.0, n_outliers_zscore=0, pct_outliers_zscore=0.0,
+        chart_bounds=(0.5, 1.5),
+    )
+    path = ch.make_charts(data, [ev], str(tmp_path), "g", fmt="png")
+    assert path.endswith(".svg")
+
+
+def test_report_boolean_plotly_toggle(tmp_path):
+    """'plotly': true (bare boolean) turns charts on without crashing."""
+    import pandas as pd
+
+    from data_quality_automated_evaluator_spark.report import make_report
+
+    agg = pd.DataFrame({
+        "__time_interval": pd.date_range("2024-01-01", periods=5),
+        " __Number of values": [10.0, 11, 9, 12, 10],
+    })
+    out = str(tmp_path / "rep" / "R.md")
+    content = make_report(agg, {}, {"plotly": True}, output_path=out)
+    assert "![overview](charts/overview.svg)" in content
+    assert os.path.exists(str(tmp_path / "rep" / "charts" / "overview.svg"))
