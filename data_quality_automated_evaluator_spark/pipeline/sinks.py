@@ -19,6 +19,7 @@ Checkpoint/resume contract (north_rule):
 from __future__ import annotations
 
 import json
+import logging
 import os
 import time
 import uuid
@@ -32,6 +33,8 @@ from .quality import (
     run_quality_pipeline,
 )
 from .rules import RULE_NAMES, Thresholds
+
+log = logging.getLogger(__name__)
 
 OUTPUT_COLUMNS = ["conv_id", "turn_idx", "role", "tool", "ts", "keep",
                   *RULE_NAMES, "text_scrubbed"]
@@ -219,6 +222,16 @@ class QualitySink:
         """
         spark = df.sparkSession
         all_parts = self.discover_partitions(df)
+        # rows without an event time have no partition and would silently
+        # vanish from the output — count them (column-pruned scan, no
+        # shuffle) and surface the drop instead of hiding it
+        n_null_ts = df.filter(F.col("ts").isNull()).count()
+        if n_null_ts:
+            log.warning(
+                "%d input rows have NULL ts and are excluded from every "
+                "partition (reported as n_null_ts in the run summary)",
+                n_null_ts,
+            )
         df = df.withColumn("part_date", F.to_date("ts"))
         done = self.completed_partitions()
         pending = [p for p in all_parts if p not in done]
@@ -226,7 +239,7 @@ class QualitySink:
             pending = pending[:batch_days]
         if not pending:
             return {"processed_partitions": 0, "skipped_partitions": len(done),
-                    "n_turns": 0, "n_keep": 0}
+                    "n_turns": 0, "n_keep": 0, "n_null_ts": n_null_ts}
 
         t0 = time.perf_counter()
         subset = df.filter(F.col("part_date").isin(pending))
@@ -319,6 +332,7 @@ class QualitySink:
             "skipped_partitions": len(done),
             "n_turns": total_turns,
             "n_keep": total_keep,
+            "n_null_ts": n_null_ts,
             "wall_sec": round(wall, 3),
         }
 

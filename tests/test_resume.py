@@ -187,3 +187,15 @@ def test_backfill_of_initially_empty_date(spark, sdf, tmp_path_factory):
     assert hole in sink.completed_partitions()
     got = sink.read_turns(spark).selectExpr("to_date(ts) d").distinct().count()
     assert got == len(dates)
+
+
+def test_null_ts_rows_surfaced_not_silently_dropped(spark, sdf, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    dirty = sdf.unionAll(
+        sdf.limit(3).withColumn("ts", F.lit(None).cast("timestamp"))
+    )
+    root = str(tmp_path_factory.mktemp("sink_nullts"))
+    s = QualitySink(root).run(dirty)
+    assert s["n_null_ts"] == 3
+    assert s["n_turns"] == sdf.count()
