@@ -70,10 +70,12 @@ def multi_query_topk(
 
     The query set rides as a broadcast cross join (tiny build side, no
     shuffle of the big table); ranking is a window partitioned by
-    query_id — one exchange keyed by query_id over only (query_id, id,
-    cosine) rows. This is the shape for deduping a corpus against a
-    reference set: one scan of the corpus regardless of |queries|.
-    Returns (query_id, vec_id, cosine, rank ≤ k).
+    query_id. The ``rank <= k`` filter is recognized by Spark's
+    InferWindowGroupLimit (plan-verified: a *Partial* WindowGroupLimit
+    runs BEFORE the exchange), so each map task emits at most k rows per
+    query and the shuffle carries ≤ partitions × |queries| × k rows —
+    never the full corpus. One scan of the corpus regardless of
+    |queries|. Returns (query_id, vec_id, cosine, rank ≤ k).
     """
     spark = df.sparkSession
     qdf = spark.createDataFrame(

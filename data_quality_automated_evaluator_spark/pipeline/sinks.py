@@ -103,6 +103,52 @@ def _parquet_footer_ts_bounds(df: DataFrame, col: str):
     return (lo, hi)
 
 
+def _footer_null_count_one(path: str, col: str):
+    """Total null count of ``col`` from one file's footer, or None when
+    any row group lacks the statistic."""
+    import pyarrow.parquet as pq
+
+    local = path[7:] if path.startswith("file://") else path
+    md = pq.ParquetFile(local).metadata
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    if col not in names:
+        return None
+    total = 0
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(names[col]).statistics
+        if st is None or st.null_count is None:
+            return None
+        total += st.null_count
+    return total
+
+
+def _parquet_footer_null_count(df: DataFrame, col: str):
+    """Global null count of ``col`` from parquet footers (zero data pages),
+    or None when the input is not footer-readable."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files or not all(f.split("?")[0].endswith(".parquet") or "/part-" in f
+                            for f in files):
+        return None
+    try:
+        if len(files) <= _FOOTER_DRIVER_MAX_FILES:
+            results = [_footer_null_count_one(f, col) for f in files]
+        else:
+            sc = df.sparkSession.sparkContext
+            results = (
+                sc.parallelize(files, max(1, len(files) // 256))
+                .map(lambda f: _footer_null_count_one(f, col))
+                .collect()
+            )
+    except Exception:
+        return None
+    if any(r is None for r in results) or not results:
+        return None
+    return int(sum(results))
+
+
 class QualitySink:
     """Filesystem-layout sink: ``<root>/turns`` (partitioned parquet),
     ``<root>/stats`` (per-interval rule stats), ``<root>/ledger``
@@ -119,6 +165,30 @@ class QualitySink:
         """Partials tree for one bucket granularity — intervals never mix."""
         return os.path.join(self.stats_partials_dir, time_interval)
 
+    def _sync_partials(
+        self, spark: SparkSession, time_interval: str, nonzero_done: set[str]
+    ) -> bool:
+        """Backfill this granularity's partials tree for partitions that
+        were completed (with rows) under a DIFFERENT time_interval — a
+        one-time scan bounded to exactly those partitions. Returns True
+        when anything was backfilled. Zero-row completions are excluded:
+        they have no turns to aggregate and would otherwise trigger a
+        no-op backfill job on every run forever."""
+        pdir = self._partials_dir(time_interval)
+        missing = sorted(nonzero_done - self._partial_dates(pdir))
+        if not missing:
+            return False
+        backfill = interval_rule_partials(
+            spark.read.parquet(self.turns_dir).filter(
+                F.col("part_date").isin(missing)
+            ),
+            time_interval,
+        )
+        backfill.repartition("part_date").write.mode("overwrite").partitionBy(
+            "part_date"
+        ).parquet(pdir)
+        return True
+
     @staticmethod
     def _partial_dates(pdir: str) -> set[str]:
         """part_dates already present in a partials tree (filesystem
@@ -133,15 +203,20 @@ class QualitySink:
         }
 
     # -- ledger ------------------------------------------------------------
-    def completed_partitions(self) -> set[str]:
+    def ledger_entries(self) -> dict[str, dict]:
+        """part_date → ledger entry for every completed partition."""
         if not os.path.isdir(self.ledger_dir):
-            return set()
-        done = set()
+            return {}
+        entries: dict[str, dict] = {}
         for f in os.listdir(self.ledger_dir):
             if f.endswith(".json"):
                 with open(os.path.join(self.ledger_dir, f)) as fh:
-                    done.add(json.load(fh)["part_date"])
-        return done
+                    e = json.load(fh)
+                entries[e["part_date"]] = e
+        return entries
+
+    def completed_partitions(self) -> set[str]:
+        return set(self.ledger_entries())
 
     def _write_ledger_entry(self, entry: dict) -> None:
         os.makedirs(self.ledger_dir, exist_ok=True)
@@ -200,7 +275,8 @@ class QualitySink:
         if n_dates > _MAX_DISCOVERY_DATES:
             return [
                 str(r[0])
-                for r in df.select(F.to_date("ts").alias("d"))
+                for r in df.where(F.col("ts").isNotNull())
+                .select(F.to_date("ts").alias("d"))
                 .distinct()
                 .orderBy("d")
                 .collect()
@@ -223,23 +299,56 @@ class QualitySink:
         spark = df.sparkSession
         all_parts = self.discover_partitions(df)
         # rows without an event time have no partition and would silently
-        # vanish from the output — count them (column-pruned scan, no
-        # shuffle) and surface the drop instead of hiding it
-        n_null_ts = df.filter(F.col("ts").isNull()).count()
+        # vanish from the output — surface the drop. Footer null_count
+        # answers with zero data I/O; the scan fallback only runs when
+        # there is batch work to pay for anyway (a fully-caught-up no-op
+        # resume stays metadata-only).
+        n_null_ts = _parquet_footer_null_count(df, "ts")
+        df = df.withColumn("part_date", F.to_date("ts"))
+        entries = self.ledger_entries()
+        done = set(entries)
+        nonzero_done = {d for d, e in entries.items() if e.get("n_turns", 0) > 0}
+        pending = [p for p in all_parts if p not in done]
+        # zero-ledgered dates (empty when first seen) are re-checked with a
+        # ts-range predicate — pushable to the scan, so the cost is only
+        # the late-arriving rows themselves. Dates with data re-enter
+        # pending and get reprocessed + re-ledgered with real counts.
+        zero_dates = sorted(done - nonzero_done)
+        if zero_dates:
+            import datetime as _dt
+
+            cond = None
+            for d in zero_dates:
+                d0 = _dt.date.fromisoformat(d)
+                c = (F.col("ts") >= F.lit(d0)) & (
+                    F.col("ts") < F.lit(d0 + _dt.timedelta(days=1))
+                )
+                cond = c if cond is None else (cond | c)
+            refreshed = [
+                str(r[0])
+                for r in df.filter(cond).select("part_date").distinct().collect()
+            ]
+            pending = sorted(set(pending) | set(refreshed))
+        if batch_days is not None:
+            pending = pending[:batch_days]
+        if not pending:
+            # still honor an interval switch: backfill this granularity's
+            # partials from completed partitions before returning
+            if self._sync_partials(spark, time_interval, nonzero_done):
+                stats = combine_rule_partials(
+                    spark.read.parquet(self._partials_dir(time_interval))
+                )
+                stats.write.mode("overwrite").parquet(self.stats_dir)
+            return {"processed_partitions": 0, "skipped_partitions": len(done),
+                    "n_turns": 0, "n_keep": 0, "n_null_ts": n_null_ts}
+        if n_null_ts is None:
+            n_null_ts = df.filter(F.col("ts").isNull()).count()
         if n_null_ts:
             log.warning(
                 "%d input rows have NULL ts and are excluded from every "
                 "partition (reported as n_null_ts in the run summary)",
                 n_null_ts,
             )
-        df = df.withColumn("part_date", F.to_date("ts"))
-        done = self.completed_partitions()
-        pending = [p for p in all_parts if p not in done]
-        if batch_days is not None:
-            pending = pending[:batch_days]
-        if not pending:
-            return {"processed_partitions": 0, "skipped_partitions": len(done),
-                    "n_turns": 0, "n_keep": 0, "n_null_ts": n_null_ts}
 
         t0 = time.perf_counter()
         subset = df.filter(F.col("part_date").isin(pending))
@@ -279,18 +388,10 @@ class QualitySink:
         ).parquet(pdir)
         # partials are keyed by bucket granularity: a run with a NEW
         # time_interval starts a fresh partials tree, and partitions
-        # completed under a different interval are backfilled ONCE here
-        # (a scan bounded to those partitions) instead of silently mixing
+        # completed under a different interval are backfilled ONCE (a scan
+        # bounded to those partitions) instead of silently mixing
         # granularities in one artifact
-        have = self._partial_dates(pdir)
-        missing = sorted(set(done) - have)
-        if missing:
-            backfill = interval_rule_partials(
-                all_written.filter(F.col("part_date").isin(missing)), time_interval
-            )
-            backfill.repartition("part_date").write.mode("overwrite").partitionBy(
-                "part_date"
-            ).parquet(pdir)
+        self._sync_partials(spark, time_interval, nonzero_done)
         stats = combine_rule_partials(spark.read.parquet(pdir))
         stats.write.mode("overwrite").parquet(self.stats_dir)
         metrics = (
@@ -306,17 +407,20 @@ class QualitySink:
         wall = time.perf_counter() - t0
         total_turns = 0
         total_keep = 0
-        # only dates that actually produced rows are ledgered: a candidate
-        # date that was empty THIS run stays un-ledgered, so late-arriving
-        # / backfilled data for it is processed by a later run (the empty
-        # re-check costs one no-op partition filter, not a rescan)
-        for row in metrics:
+        # EVERY selected pending date is ledgered — empty ones with zeros —
+        # so a batch_days-limited run always makes progress (an un-ledgered
+        # empty date would be re-selected forever). Zero entries are
+        # re-checked cheaply at the top of each run and reprocessed when
+        # their data arrives late, so backfill still works.
+        by_date = {str(row["part_date"]): row for row in metrics}
+        for part in pending:
+            row = by_date.get(part)
             entry = {
-                "part_date": str(row["part_date"]),
-                "n_turns": row["n_turns"],
-                "n_keep": row["n_keep"],
-                "n_convs": row["n_convs"],
-                "scrubbed_chars": row["scrubbed_chars"],
+                "part_date": part,
+                "n_turns": row["n_turns"] if row else 0,
+                "n_keep": row["n_keep"] if row else 0,
+                "n_convs": row["n_convs"] if row else 0,
+                "scrubbed_chars": row["scrubbed_chars"] if row else 0,
                 "run_wall_sec": round(wall, 3),
                 "thresholds": thresholds.__dict__ | {
                     "allowed_langs": list(thresholds.allowed_langs)
@@ -328,7 +432,7 @@ class QualitySink:
             total_keep += entry["n_keep"]
 
         return {
-            "processed_partitions": len(metrics),
+            "processed_partitions": len(pending),
             "skipped_partitions": len(done),
             "n_turns": total_turns,
             "n_keep": total_keep,

@@ -115,7 +115,11 @@ def make_report(
     # reference chart parity (plot.py:9-71): a "plotly" (or "charts")
     # config section turns on per-group chart artifacts, embedded below
     # each section's stats table
-    charts_on = "plotly" in config or "charts" in config
+    # present-and-not-false turns charts on: {} (reference-style empty
+    # section) and true both enable; an explicit false disables
+    charts_on = any(
+        k in config and config[k] is not False for k in ("plotly", "charts")
+    )
     charts_dir = None
     if charts_on and output_path:
         charts_dir = os.path.join(os.path.dirname(output_path) or ".", "charts")

@@ -165,8 +165,9 @@ def test_stats_interval_change_no_granularity_mixing(spark, sdf, tmp_path_factor
 
 
 def test_backfill_of_initially_empty_date(spark, sdf, tmp_path_factory):
-    """A date inside the range that has no rows yet must stay un-ledgered
-    so late-arriving data for it is processed by a later run."""
+    """A date inside the range that has no rows yet is zero-ledgered (for
+    progress) and re-checked on later runs, so late-arriving data for it
+    is still processed."""
     from pyspark.sql import functions as F
 
     dates = sorted(
@@ -178,15 +179,25 @@ def test_backfill_of_initially_empty_date(spark, sdf, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("sink_backfill"))
     sink = QualitySink(root)
     s1 = sink.run(first)
-    assert hole not in sink.completed_partitions()
-    assert s1["processed_partitions"] == len(dates) - 1
+    # every candidate in the contiguous range is processed; the empty hole
+    # (and any natural gap dates) are zero-ledgered — progress guarantee
+    # for batch_days-limited runs
+    import datetime as dt
 
-    # the hole's data "arrives" — a rerun with the full source picks it up
+    n_range = (dt.date.fromisoformat(dates[-1]) - dt.date.fromisoformat(dates[0])).days + 1
+    assert s1["processed_partitions"] == n_range
+    assert sink.ledger_entries()[hole]["n_turns"] == 0
+
+    # …but when its data "arrives", the zero-date re-check reprocesses it
     s2 = sink.run(sdf)
     assert s2["processed_partitions"] == 1
-    assert hole in sink.completed_partitions()
+    assert s2["n_turns"] > 0
+    assert sink.ledger_entries()[hole]["n_turns"] > 0
     got = sink.read_turns(spark).selectExpr("to_date(ts) d").distinct().count()
     assert got == len(dates)
+    # fully caught up: nothing pending, zero-recheck finds nothing new
+    s3 = sink.run(sdf)
+    assert s3["processed_partitions"] == 0
 
 
 def test_null_ts_rows_surfaced_not_silently_dropped(spark, sdf, tmp_path_factory):
@@ -199,3 +210,55 @@ def test_null_ts_rows_surfaced_not_silently_dropped(spark, sdf, tmp_path_factory
     s = QualitySink(root).run(dirty)
     assert s["n_null_ts"] == 3
     assert s["n_turns"] == sdf.count()
+
+
+def test_batch_days_progresses_past_empty_dates(spark, sdf, tmp_path_factory):
+    """batch_days-limited runs must not livelock on an empty in-range
+    date: the empty date is zero-ledgered and the next run moves on."""
+    from pyspark.sql import functions as F
+
+    dates = sorted(
+        str(r[0]) for r in sdf.selectExpr("to_date(ts) d").distinct().collect()
+    )
+    hole = dates[1]  # second date empty → selected early by batch_days
+    src = sdf.filter(F.to_date("ts") != hole)
+
+    root = str(tmp_path_factory.mktemp("sink_livelock"))
+    sink = QualitySink(root)
+    seen_processed = 0
+    for _ in range(4):
+        s = sink.run(src, batch_days=1)
+        seen_processed += s["processed_partitions"]
+    # four runs, four candidate dates consumed (one of them the empty
+    # hole) — never stuck re-selecting the same empty date
+    assert seen_processed == 4
+    assert len(sink.completed_partitions()) == 4
+    assert sink.ledger_entries()[hole]["n_turns"] == 0
+    assert sink.ledger_entries()[dates[2]]["n_turns"] > 0
+
+
+def test_interval_switch_with_nothing_pending(spark, sdf, tmp_path_factory):
+    """Switching time_interval when all partitions are already complete
+    must still build the new granularity's partials (early-return path)."""
+    from data_quality_automated_evaluator_spark.pipeline.quality import (
+        interval_rule_stats,
+    )
+
+    root = str(tmp_path_factory.mktemp("sink_iv2"))
+    sink = QualitySink(root)
+    sink.run(sdf, time_interval="1d")  # everything completes at 1d
+
+    s = sink.run(sdf, time_interval="1h")  # no pending work, new interval
+    assert s["processed_partitions"] == 0
+
+    hourly = (
+        sink.read_stats(spark, "1h").toPandas()
+        .sort_values("__time_interval").reset_index(drop=True)
+    )
+    full = (
+        interval_rule_stats(sink.read_turns(spark), "1h").toPandas()
+        .sort_values("__time_interval").reset_index(drop=True)
+    )
+    assert len(hourly) == len(full) > 0
+    for col in full.columns:
+        assert (hourly[col].values == full[col].values).all(), col
