@@ -172,7 +172,13 @@ def make_report(
             body += _chart_md(num_cols, num_evals, f"numeric-{col}")
         sections.append((f"Column `{col}`", body))
 
-    md = [f"# {title}\n"]
+    md = []
+    # reference parity (report.py:153-159): markdown.css_style prepends a
+    # stylesheet link when the file exists; silently skipped otherwise
+    css_style = (config.get("markdown") or {}).get("css_style")
+    if css_style and os.path.isfile(str(css_style)):
+        md.append(f"<link rel='stylesheet' href='{os.path.abspath(str(css_style))}'>\n")
+    md.append(f"# {title}\n")
     md.append(
         f"_{n_intervals} time intervals, {lo} → {hi}; outlier criterion: "
         f"{criterion} (IQR×{multiplier_iqr}, Z>{threshold_zscore})._\n"

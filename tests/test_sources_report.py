@@ -319,3 +319,24 @@ def test_report_boolean_plotly_toggle(tmp_path):
     content = make_report(agg, {}, {"plotly": True}, output_path=out)
     assert "![overview](charts/overview.svg)" in content
     assert os.path.exists(str(tmp_path / "rep" / "charts" / "overview.svg"))
+
+
+def test_markdown_css_style_link(tmp_path):
+    """markdown.css_style prepends a stylesheet link when the file exists
+    (reference report.py:153-159); missing files are silently skipped."""
+    import pandas as pd
+
+    from data_quality_automated_evaluator_spark.report import make_report
+
+    agg = pd.DataFrame({
+        "__time_interval": pd.date_range("2024-01-01", periods=3),
+        " __Number of values": [5.0, 6.0, 7.0],
+    })
+    css = tmp_path / "style.css"
+    css.write_text("table { font-size: 12px; }")
+    content = make_report(agg, {}, {"markdown": {"css_style": str(css)}})
+    assert content.startswith("<link rel='stylesheet'")
+    assert str(css) in content
+    # nonexistent css → no link, no crash
+    content2 = make_report(agg, {}, {"markdown": {"css_style": "/nope.css"}})
+    assert "<link" not in content2
