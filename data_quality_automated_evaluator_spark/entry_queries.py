@@ -589,6 +589,64 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "decontaminate_documents",
+    oracle=r"""
+    WITH eval_grams AS (
+      SELECT DISTINCT substr(text, i, 8) AS g
+      FROM documents, UNNEST(range(1, greatest(length(text)-7, 1)+1)) AS t(i)
+      WHERE doc_id < 2
+    ), doc_grams AS (
+      SELECT DISTINCT doc_id, substr(text, i, 8) AS g
+      FROM documents, UNNEST(range(1, greatest(length(text)-7, 1)+1)) AS t(i)
+    ), hits AS (
+      SELECT doc_id, count(*) AS n_shared_grams
+      FROM doc_grams JOIN eval_grams USING (g)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.n_shared_grams, 0) AS BIGINT) AS n_shared_grams,
+           coalesce(h.n_shared_grams, 0) > 0 AS contaminated
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN hits h ON h.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every document sharing any 8-char
+    gram with the 'eval set' (here: docs 0-1 as stand-in benchmark
+    text) — the pre-training n-gram overlap check, broadcast-probe
+    formulation, value-checked against the same construction in DuckDB."""
+    from .operators.dedup import contamination_flags
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_set = docs.filter("doc_id < 2")
+    return contamination_flags(docs, eval_set).orderBy("doc_id")
+
+
+@register(
+    "deterministic_sample_documents",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    WHERE (instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 1, 1)) - 1) * 4096
+        + (instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 2, 1)) - 1) * 256
+        + (instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 3, 1)) - 1) * 16
+        + (instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 4, 1)) - 1)
+        < 16384
+    ORDER BY doc_id
+    """,
+)
+def deterministic_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 25% sample keyed on md5(doc_id) buckets — reproducible
+    across engines/partitionings/runs (quota + holdout splitting for
+    training pipelines); the DuckDB oracle applies the identical bucket
+    predicate, so the sampled ROW SET must match exactly."""
+    from .operators.sampling import deterministic_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return deterministic_sample(docs, rate=0.25, key_col="doc_id").orderBy("doc_id")
+
+
 _SIMHASH_BASE_SQL = """
       SELECT doc_id, text FROM documents WHERE doc_id < 500
       UNION ALL

@@ -470,6 +470,61 @@ def fingerprint_oracle_sql(
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination (eval-set n-gram overlap)
+# ---------------------------------------------------------------------------
+
+def _char_gram_explode(df: DataFrame, text_col: str, k: int):
+    return F.explode(
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(length({text_col})-{k - 1}, 1)),"
+                f" i -> substr({text_col}, i, {k}))"
+            )
+        )
+    )
+
+
+def contamination_flags(
+    docs: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Training-data decontamination: flag documents sharing any ``k``-char
+    gram with a benchmark/eval set (the Lee/Brown-style n-gram overlap
+    check run before training).
+
+    Shape for 10^12 rows: the eval side is tiny (benchmarks are KBs-MBs),
+    so its distinct gram set broadcasts; each doc's grams probe the
+    broadcast hash — map-only until the per-doc count aggregation, no
+    wide shuffle of text. Returns (id, n_shared_grams, contaminated),
+    one row per input doc.
+    """
+    eval_grams = (
+        eval_set.select(_char_gram_explode(eval_set, text_col, k).alias("g"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col).alias("_id"), _char_gram_explode(docs, text_col, k).alias("g")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(eval_grams), "g")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("_id"))
+        .join(hits, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+            (F.coalesce("n_shared_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # exact n-gram Jaccard (DataFrame-native, oracle-checkable)
 # ---------------------------------------------------------------------------
 

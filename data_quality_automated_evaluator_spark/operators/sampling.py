@@ -1,0 +1,56 @@
+"""Deterministic, engine-portable sampling for training-data pipelines.
+
+``df.sample()`` is seed-dependent per partition layout and not
+reproducible across engines; quota/holdout decisions in a data pipeline
+must be STABLE (the same row lands on the same side of the split on
+every run, any cluster, any partitioning). The md5-bucket sampler here
+keys the decision on a hash of the row's identity: bucket =
+first-16-bits of md5(key) → keep iff bucket < rate·65536. Every
+construct (md5/substr/instr, arithmetic) evaluates identically in Spark
+SQL and DuckDB, so the sample set itself is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 65536  # first 4 md5 nibbles
+
+
+def _bucket_expr(key_col: str) -> str:
+    """0..65535 from the first 4 hex chars of md5(key) — shared verbatim
+    with the DuckDB oracle."""
+    nib = lambda j: (  # noqa: E731 — tiny local template
+        f"(instr('0123456789abcdef', substr(md5(cast({key_col} as string)), {j}, 1)) - 1)"
+    )
+    return f"({nib(1)} * 4096 + {nib(2)} * 256 + {nib(3)} * 16 + {nib(4)})"
+
+
+def deterministic_sample(
+    df: DataFrame, rate: float, key_col: str = "doc_id"
+) -> DataFrame:
+    """Stable ``rate``-fraction sample keyed on ``key_col``.
+
+    Row-identity-hashed, so the decision is independent of partitioning,
+    ordering, engine, and run count; complementary rates partition the
+    data exactly (a row is in the 0.25 sample iff it is not in the
+    complementary 0.75 holdout built with ``deterministic_holdout``).
+    Pure Catalyst — the filter runs inside the scan's codegen stage.
+    """
+    threshold = int(rate * _BUCKETS)
+    return df.filter(F.expr(f"{_bucket_expr(key_col)} < {threshold}"))
+
+
+def deterministic_holdout(
+    df: DataFrame, rate: float, key_col: str = "doc_id"
+) -> DataFrame:
+    """The exact complement of :func:`deterministic_sample` at ``rate``."""
+    threshold = int(rate * _BUCKETS)
+    return df.filter(F.expr(f"{_bucket_expr(key_col)} >= {threshold}"))
+
+
+def sample_oracle_predicate(rate: float, key_col: str = "doc_id") -> str:
+    """DuckDB WHERE predicate matching :func:`deterministic_sample`."""
+    threshold = int(rate * _BUCKETS)
+    return f"{_bucket_expr(key_col)} < {threshold}"

@@ -406,3 +406,39 @@ def test_entry_queries_carry_cleanup_hook(spark, sf_dir):
     assert cached[0].storageLevel.useMemory
     release_cached(df)
     assert not cached[0].storageLevel.useMemory
+
+
+def test_contamination_flags_planted(spark, docs):
+    """Docs sharing an 8-gram with the eval set are flagged; clean docs
+    are not; every input doc gets exactly one output row."""
+    from data_quality_automated_evaluator_spark.operators.dedup import contamination_flags
+
+    eval_set = spark.createDataFrame(
+        [(0, "the quick brown fox jumps")], "eval_id long, text string"
+    )
+    out = contamination_flags(docs, eval_set).toPandas().set_index("doc_id")
+    assert len(out) == docs.count()
+    # docs 0/1 contain the fox sentence (and 2 its near-dup wording)
+    assert bool(out.loc[0, "contaminated"]) and bool(out.loc[1, "contaminated"])
+    # token-salad fillers share no 8-gram with the eval text
+    assert not out.loc[15:, "contaminated"].any()
+    assert (out["n_shared_grams"] >= 0).all()
+
+
+def test_deterministic_sample_properties(spark, docs):
+    """Sample+holdout partition the data exactly; the decision is stable
+    under repartitioning; the rate is approximately honored."""
+    from data_quality_automated_evaluator_spark.operators.sampling import (
+        deterministic_holdout,
+        deterministic_sample,
+    )
+
+    big = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+    s = deterministic_sample(big, 0.25).toPandas()["doc_id"]
+    h = deterministic_holdout(big, 0.25).toPandas()["doc_id"]
+    assert len(s) + len(h) == 20000
+    assert set(s).isdisjoint(set(h))
+    assert abs(len(s) / 20000 - 0.25) < 0.02  # md5 buckets are uniform
+    # stability: a different partitioning yields the identical row set
+    s2 = deterministic_sample(big.repartition(13), 0.25).toPandas()["doc_id"]
+    assert set(s) == set(s2)
