@@ -624,15 +624,14 @@ def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(docs, eval_set).orderBy("doc_id")
 
 
+from .operators.sampling import sample_oracle_predicate as _sample_pred
+
+
 @register(
     "deterministic_sample_documents",
-    oracle="""
+    oracle=f"""
     SELECT doc_id, source FROM documents
-    WHERE (instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 1, 1)) - 1) * 4096
-        + (instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 2, 1)) - 1) * 256
-        + (instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 3, 1)) - 1) * 16
-        + (instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 4, 1)) - 1)
-        < 16384
+    WHERE {_sample_pred(0.25, "doc_id")}
     ORDER BY doc_id
     """,
 )

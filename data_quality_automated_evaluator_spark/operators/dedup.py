@@ -473,7 +473,7 @@ def fingerprint_oracle_sql(
 # Benchmark decontamination (eval-set n-gram overlap)
 # ---------------------------------------------------------------------------
 
-def _char_gram_explode(df: DataFrame, text_col: str, k: int):
+def _char_gram_explode(text_col: str, k: int):
     return F.explode(
         F.array_distinct(
             F.expr(
@@ -499,15 +499,18 @@ def contamination_flags(
     so its distinct gram set broadcasts; each doc's grams probe the
     broadcast hash — map-only until the per-doc count aggregation, no
     wide shuffle of text. Returns (id, n_shared_grams, contaminated),
-    one row per input doc.
+    one row per distinct id.
     """
     eval_grams = (
-        eval_set.select(_char_gram_explode(eval_set, text_col, k).alias("g"))
+        eval_set.select(_char_gram_explode(text_col, k).alias("g"))
         .distinct()
     )
+    # distinct (_id, g): duplicate ids in the input otherwise double-count
+    # shared grams and emit duplicate output rows (one row per DISTINCT id
+    # is the contract, matching the oracle)
     doc_grams = docs.select(
-        F.col(id_col).alias("_id"), _char_gram_explode(docs, text_col, k).alias("g")
-    )
+        F.col(id_col).alias("_id"), _char_gram_explode(text_col, k).alias("g")
+    ).distinct()
     hits = (
         doc_grams.join(F.broadcast(eval_grams), "g")
         .groupBy("_id")
@@ -515,6 +518,7 @@ def contamination_flags(
     )
     return (
         docs.select(F.col(id_col).alias("_id"))
+        .distinct()
         .join(hits, "_id", "left")
         .select(
             F.col("_id").alias(id_col),

@@ -20,9 +20,12 @@ _BUCKETS = 65536  # first 4 md5 nibbles
 
 def _bucket_expr(key_col: str) -> str:
     """0..65535 from the first 4 hex chars of md5(key) — shared verbatim
-    with the DuckDB oracle."""
+    with the DuckDB oracle. NULL keys coalesce to a sentinel so they hash
+    deterministically into one bucket instead of evaluating the filter to
+    NULL and silently vanishing from BOTH splits."""
+    key = f"coalesce(cast({key_col} as string), '__null_key__')"
     nib = lambda j: (  # noqa: E731 — tiny local template
-        f"(instr('0123456789abcdef', substr(md5(cast({key_col} as string)), {j}, 1)) - 1)"
+        f"(instr('0123456789abcdef', substr(md5({key}), {j}, 1)) - 1)"
     )
     return f"({nib(1)} * 4096 + {nib(2)} * 256 + {nib(3)} * 16 + {nib(4)})"
 

@@ -46,6 +46,10 @@ _FOOTER_DRIVER_MAX_FILES = 64
 # beyond it one outlier timestamp is the likely cause → exact distinct scan
 _MAX_DISCOVERY_DATES = 10_000
 
+# at most this many zero-ledgered dates are re-checked for late data per
+# run (most recent first) — bounds the OR predicate and the recheck scan
+_MAX_RECHECK_DATES = 128
+
 
 def _footer_minmax_one(path: str, col: str):
     """(min, max) of ``col`` from one parquet file's footer statistics.
@@ -122,9 +126,24 @@ def _footer_null_count_one(path: str, col: str):
     return total
 
 
+def _is_bare_scan(df: DataFrame) -> bool:
+    """True when ``df`` is a plain source relation (no filters/unions/
+    projections), i.e. footer statistics describe exactly its rows.
+    ``inputFiles()`` works THROUGH transformations, so footer-derived
+    counts are only trustworthy for a bare scan."""
+    try:
+        name = df._jdf.queryExecution().analyzed().getClass().getSimpleName()
+    except Exception:
+        return False
+    return name in ("LogicalRelation", "DataSourceV2Relation",
+                    "DataSourceV2ScanRelation")
+
+
 def _parquet_footer_null_count(df: DataFrame, col: str):
     """Global null count of ``col`` from parquet footers (zero data pages),
-    or None when the input is not footer-readable."""
+    or None when the input is not footer-readable or not a bare scan."""
+    if not _is_bare_scan(df):
+        return None
     try:
         files = df.inputFiles()
     except Exception:
@@ -178,6 +197,11 @@ class QualitySink:
         missing = sorted(nonzero_done - self._partial_dates(pdir))
         if not missing:
             return False
+        # dynamic overwrite is load-bearing here too: with the default
+        # static mode this write would wipe the whole partials tree and
+        # keep only the backfilled dates (the early-return path reaches
+        # this before run()'s own conf set)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         backfill = interval_rule_partials(
             spark.read.parquet(self.turns_dir).filter(
                 F.col("part_date").isin(missing)
@@ -299,21 +323,32 @@ class QualitySink:
         spark = df.sparkSession
         all_parts = self.discover_partitions(df)
         # rows without an event time have no partition and would silently
-        # vanish from the output — surface the drop. Footer null_count
-        # answers with zero data I/O; the scan fallback only runs when
-        # there is batch work to pay for anyway (a fully-caught-up no-op
-        # resume stays metadata-only).
+        # vanish from the output — surface the drop. For a bare parquet
+        # scan (the 10^12-row production shape) footer null_count answers
+        # with zero data I/O; transformed or non-parquet inputs pay one
+        # ts-pruned count scan so the summary is always a real number.
         n_null_ts = _parquet_footer_null_count(df, "ts")
+        if n_null_ts is None:
+            n_null_ts = df.filter(F.col("ts").isNull()).count()
+        if n_null_ts:
+            log.warning(
+                "%d input rows have NULL ts and are excluded from every "
+                "partition (reported as n_null_ts in the run summary)",
+                n_null_ts,
+            )
         df = df.withColumn("part_date", F.to_date("ts"))
         entries = self.ledger_entries()
         done = set(entries)
         nonzero_done = {d for d, e in entries.items() if e.get("n_turns", 0) > 0}
         pending = [p for p in all_parts if p not in done]
-        # zero-ledgered dates (empty when first seen) are re-checked with a
-        # ts-range predicate — pushable to the scan, so the cost is only
-        # the late-arriving rows themselves. Dates with data re-enter
-        # pending and get reprocessed + re-ledgered with real counts.
-        zero_dates = sorted(done - nonzero_done)
+        # zero-ledgered dates (empty when first seen) are re-checked with
+        # ts-range predicates — pushable to the scan, so row groups outside
+        # those dates are pruned and the cost is only late-arriving rows.
+        # Bounded: only the most recent _MAX_RECHECK_DATES are re-checked
+        # each run (late data overwhelmingly lands near the present;
+        # ancient always-empty dates would otherwise accrete an unbounded
+        # OR predicate and a scan job on every no-op resume forever).
+        zero_dates = sorted(done - nonzero_done)[-_MAX_RECHECK_DATES:]
         if zero_dates:
             import datetime as _dt
 
@@ -341,14 +376,6 @@ class QualitySink:
                 stats.write.mode("overwrite").parquet(self.stats_dir)
             return {"processed_partitions": 0, "skipped_partitions": len(done),
                     "n_turns": 0, "n_keep": 0, "n_null_ts": n_null_ts}
-        if n_null_ts is None:
-            n_null_ts = df.filter(F.col("ts").isNull()).count()
-        if n_null_ts:
-            log.warning(
-                "%d input rows have NULL ts and are excluded from every "
-                "partition (reported as n_null_ts in the run summary)",
-                n_null_ts,
-            )
 
         t0 = time.perf_counter()
         subset = df.filter(F.col("part_date").isin(pending))

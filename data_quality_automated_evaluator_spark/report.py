@@ -174,10 +174,26 @@ def make_report(
 
     md = []
     # reference parity (report.py:153-159): markdown.css_style prepends a
-    # stylesheet link when the file exists; silently skipped otherwise
+    # stylesheet link when the file exists; silently skipped otherwise.
+    # Relative paths resolve against the REPORT's directory (like the
+    # chart embeds) and the emitted href stays relative, so the report
+    # directory remains portable; quotes are HTML-escaped.
     css_style = (config.get("markdown") or {}).get("css_style")
-    if css_style and os.path.isfile(str(css_style)):
-        md.append(f"<link rel='stylesheet' href='{os.path.abspath(str(css_style))}'>\n")
+    if css_style:
+        base = os.path.dirname(output_path) if output_path else "."
+        resolved = (
+            str(css_style)
+            if os.path.isabs(str(css_style))
+            else os.path.join(base or ".", str(css_style))
+        )
+        if os.path.isfile(resolved):
+            href = (
+                str(css_style)
+                if not os.path.isabs(str(css_style))
+                else os.path.relpath(resolved, base or ".")
+            )
+            href = href.replace("&", "&amp;").replace("'", "&#39;")
+            md.append(f"<link rel='stylesheet' href='{href}'>\n")
     md.append(f"# {title}\n")
     md.append(
         f"_{n_intervals} time intervals, {lo} → {hi}; outlier criterion: "

@@ -442,3 +442,19 @@ def test_deterministic_sample_properties(spark, docs):
     # stability: a different partitioning yields the identical row set
     s2 = deterministic_sample(big.repartition(13), 0.25).toPandas()["doc_id"]
     assert set(s) == set(s2)
+
+
+def test_deterministic_sample_null_keys_not_lost(spark):
+    """NULL keys hash to a sentinel bucket — sample ∪ holdout still
+    partitions the data exactly instead of silently dropping them."""
+    from data_quality_automated_evaluator_spark.operators.sampling import (
+        deterministic_holdout,
+        deterministic_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,), (None,)], "doc_id long"
+    )
+    n_s = deterministic_sample(df, 0.5).count()
+    n_h = deterministic_holdout(df, 0.5).count()
+    assert n_s + n_h == 4
