@@ -501,20 +501,27 @@ def contamination_flags(
     wide shuffle of text. Returns (id, n_shared_grams, contaminated),
     one row per distinct id.
     """
+    # grams travel as xxhash64 longs, not k-char strings: the broadcast
+    # build side is 8 bytes/gram and the probe is a long-equality hash
+    # join (a 64-bit collision can only ever undercount one doc's
+    # n_shared_grams by 1 — irrelevant to a contamination flag)
     eval_grams = (
         eval_set.select(_char_gram_explode(text_col, k).alias("g"))
+        .select(F.xxhash64("g").alias("_h"))
         .distinct()
     )
-    # distinct (_id, g): duplicate ids in the input otherwise double-count
-    # shared grams and emit duplicate output rows (one row per DISTINCT id
-    # is the contract, matching the oracle)
     doc_grams = docs.select(
         F.col(id_col).alias("_id"), _char_gram_explode(text_col, k).alias("g")
-    ).distinct()
+    ).select("_id", F.xxhash64("g").alias("_h"))
+    # count_distinct AFTER the broadcast probe: per-doc grams are already
+    # array_distinct'd, so dedup is only needed when the same id appears
+    # on multiple input rows — and post-join the candidate set is just the
+    # MATCHED grams, so the distinct aggregation shuffles almost nothing
+    # instead of every (id, gram) pair in the corpus
     hits = (
-        doc_grams.join(F.broadcast(eval_grams), "g")
+        doc_grams.join(F.broadcast(eval_grams), "_h")
         .groupBy("_id")
-        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .agg(F.count_distinct("_h").alias("n_shared_grams"))
     )
     return (
         docs.select(F.col(id_col).alias("_id"))
