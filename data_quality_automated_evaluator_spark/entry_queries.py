@@ -1130,3 +1130,47 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inner = simhash_md5_pairs(docs.unionAll(mutated), max_hamming=3)
     return _carry_cached(inner.orderBy("id_a", "id_b"), inner)
+
+
+@register(
+    "incremental_dedup_documents",
+    oracle="""
+    WITH d AS (SELECT doc_id, md5(text) AS digest FROM documents),
+    inc AS (SELECT * FROM d WHERE doc_id >= 250),
+    hist AS (SELECT digest, CAST(min(doc_id) AS BIGINT) AS keep_id
+             FROM d WHERE doc_id < 250 GROUP BY digest),
+    firsts AS (SELECT digest, min(doc_id) AS first_inc FROM inc GROUP BY digest)
+    SELECT i.doc_id, i.digest,
+           CAST(CASE WHEN h.keep_id IS NOT NULL THEN h.keep_id
+                WHEN f.first_inc < i.doc_id THEN f.first_inc END AS BIGINT)
+             AS dup_of,
+           (h.keep_id IS NULL AND f.first_inc = i.doc_id) AS is_new
+    FROM inc i
+    LEFT JOIN hist h USING (digest)
+    LEFT JOIN firsts f USING (digest)
+    ORDER BY i.doc_id
+    """,
+)
+def incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run exact dedup through a real on-disk digest store
+    (operators/incremental.py ExactDedupStore): docs < 250 are ingested
+    as 'history', the rest as the increment; the increment's dup_of /
+    is_new flags are returned and value-checked against a DuckDB
+    reconstruction of the same two-phase semantics. The store round-trip
+    (bootstrap append -> probe join on re-read digests) is the part a
+    pure-SQL query can't see — that's exactly what this exercises."""
+    import shutil
+    import tempfile
+
+    from .operators.incremental import ExactDedupStore
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="dedup_store_")
+    try:
+        store = ExactDedupStore(root)
+        store.ingest(docs.filter("doc_id < 250")).count()  # history pass
+        out = store.ingest(docs.filter("doc_id >= 250")).orderBy("doc_id")
+        # materialize before the temp store dir is removed
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

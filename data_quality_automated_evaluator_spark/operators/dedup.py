@@ -125,7 +125,11 @@ def minhash_lsh_candidates(
                 for i in range(bands)
             ])
         ).alias("band_idx", "band_sig"),
-    ).withColumn("band_hash", F.hash(F.concat_ws(",", "band_sig"), "band_idx"))
+    ).withColumn(
+        # 64-bit: a 32-bit band-hash space saturates near 10^10 band rows
+        # and every spurious collision is a false candidate pair
+        "band_hash", F.xxhash64(F.concat_ws(",", "band_sig"), "band_idx")
+    )
     # self-join below branches this plan twice; without materialization the
     # MinHash UDF runs once PER BRANCH. At scale signatures get written to
     # their own table; in-process, persist is the same move.
