@@ -1174,3 +1174,55 @@ def incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+from .operators.sampling import stratified_sample_predicate as _strat_pred
+
+_STRAT_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+@register(
+    "stratified_sample_documents",
+    oracle=f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_strat_pred(_STRAT_FRACTIONS, "source", "doc_id", 0.05)}
+    ORDER BY doc_id
+    """,
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture reweighting: curated sources keep 100%/50%/...
+    of rows, everything else thins to 5% — one CASE-threshold predicate
+    inside the scan's codegen stage (no shuffle, no per-stratum pass),
+    decisions stable across partitioning/engine/runs. The DuckDB oracle
+    runs the IDENTICAL predicate, so the row SET itself is checked."""
+    from .operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample(
+        docs, _STRAT_FRACTIONS, "source", "doc_id", default_rate=0.05
+    ).orderBy("doc_id")
+
+
+@register(
+    "stratified_take_documents",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(concat(cast(source as string), ':',
+                                   cast(doc_id as string))), doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 7
+    ORDER BY doc_id
+    """,
+)
+def stratified_take_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-n-per-stratum deterministic selection (eval-set
+    construction): md5-hash rank window per source, 7 docs each. DuckDB
+    re-runs the same window — exact row-set parity."""
+    from .operators.sampling import stratified_take
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_take(docs, 7, "source", "doc_id").orderBy("doc_id")

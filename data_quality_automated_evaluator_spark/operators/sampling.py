@@ -12,7 +12,7 @@ SQL and DuckDB, so the sample set itself is oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _BUCKETS = 65536  # first 4 md5 nibbles
@@ -57,3 +57,76 @@ def sample_oracle_predicate(rate: float, key_col: str = "doc_id") -> str:
     """DuckDB WHERE predicate matching :func:`deterministic_sample`."""
     threshold = int(rate * _BUCKETS)
     return f"{_bucket_expr(key_col)} < {threshold}"
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+def _sql_quote(s: str) -> str:
+    return "'" + str(s).replace("'", "''") + "'"
+
+
+def stratified_sample_predicate(
+    fractions: dict[str, float],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> str:
+    """Shared Spark/DuckDB predicate for a per-stratum deterministic
+    sample: each stratum keeps its own md5-bucket fraction. The stratum
+    value is folded into the hash key, so a key appearing in several
+    strata (or the same key re-sampled under a different stratification)
+    draws independently."""
+    key = f"concat(cast({strata_col} as string), ':', cast({key_col} as string))"
+    thr = "CASE " + " ".join(
+        f"WHEN cast({strata_col} as string) = {_sql_quote(s)} "
+        f"THEN {int(r * _BUCKETS)}"
+        for s, r in sorted(fractions.items())
+    ) + f" ELSE {int(default_rate * _BUCKETS)} END"
+    return f"{_bucket_expr(key)} < ({thr})"
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum stable sampling (e.g. up-weight curated sources,
+    down-weight crawl) — the mixture-reweighting primitive of a training
+    pipeline. Pure Catalyst: the per-stratum threshold is a CASE inside
+    the scan's codegen stage, no shuffle, no per-stratum pass; unlisted
+    strata default to ``default_rate``. Decisions are independent of
+    partitioning/engine/run like :func:`deterministic_sample`."""
+    return df.filter(
+        F.expr(stratified_sample_predicate(fractions, strata_col, key_col,
+                                           default_rate))
+    )
+
+
+def stratified_take(
+    df: DataFrame,
+    n_per_stratum: int,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """EXACTLY ``n_per_stratum`` rows per stratum (fewer when a stratum
+    is smaller), chosen by md5-hash order — deterministic across runs,
+    partitionings and engines (eval-set construction semantics).
+
+    Plan: one shuffle keyed by the stratum for a rank window. A single
+    hot stratum serializes into one task, so this is for SELECTING
+    BOUNDED SETS (n ≲ 10^6); for proportional thinning at corpus scale
+    use :func:`stratified_sample`, which never shuffles."""
+    key = f"concat(cast({strata_col} as string), ':', cast({key_col} as string))"
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.expr(f"md5({key})"), F.col(key_col))
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )

@@ -458,3 +458,44 @@ def test_deterministic_sample_null_keys_not_lost(spark):
     n_s = deterministic_sample(df, 0.5).count()
     n_h = deterministic_holdout(df, 0.5).count()
     assert n_s + n_h == 4
+
+
+def test_stratified_sample_properties(spark):
+    from pyspark.sql import functions as F
+
+    from data_quality_automated_evaluator_spark.operators.sampling import (
+        stratified_sample,
+        stratified_take,
+    )
+
+    big = spark.range(0, 12000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    frs = {"s0": 0.5, "s1": 0.1}
+    got = stratified_sample(big, frs, "source", "doc_id", default_rate=0.9)
+    rates = {
+        r["source"]: r["n"] / 4000
+        for r in got.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(rates["s0"] - 0.5) < 0.05
+    assert abs(rates["s1"] - 0.1) < 0.03
+    assert abs(rates["s2"] - 0.9) < 0.05  # unlisted -> default_rate
+    # partition-layout stability
+    again = stratified_sample(
+        big.repartition(13), frs, "source", "doc_id", default_rate=0.9
+    )
+    assert {r["doc_id"] for r in got.collect()} == {
+        r["doc_id"] for r in again.collect()
+    }
+
+    take = stratified_take(big, 5, "source", "doc_id")
+    by_src = {
+        r["source"]: r["n"]
+        for r in take.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src == {"s0": 5, "s1": 5, "s2": 5}
+    take2 = stratified_take(big.repartition(7), 5, "source", "doc_id")
+    assert {r["doc_id"] for r in take.collect()} == {
+        r["doc_id"] for r in take2.collect()
+    }
