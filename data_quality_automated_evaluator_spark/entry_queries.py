@@ -165,8 +165,10 @@ def interval_stats_events_1d_approx(spark: SparkSession, sf_dir: str) -> DataFra
     """The 10^12-row variant of the flagship: ``approx_distinct`` swaps
     exact null-inclusive count-distinct for HLL, removing the
     distinct-rewrite Expand from the plan (one narrow HashAggregate pair
-    instead of Expand + double aggregation). Estimate accuracy and the
-    plan shape are pinned in pytest; the driver records rows-only."""
+    instead of Expand + double aggregation), and ``approx_median`` swaps
+    the value-buffering exact median for the bounded-memory
+    percentile_approx sketch. Estimate accuracy and the plan shape are
+    pinned in pytest; the driver records rows-only."""
     from .operators.preprocess import make_preprocessing
 
     df = _t(spark, sf_dir, "events")
@@ -178,6 +180,7 @@ def interval_stats_events_1d_approx(spark: SparkSession, sf_dir: str) -> DataFra
             "target_column": "value",
             "columns_to_exclude": ["event_id", "props"],
             "approx_distinct": True,
+            "approx_median": True,
         },
     )
     out = res.aggregate

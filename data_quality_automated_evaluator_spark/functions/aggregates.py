@@ -78,6 +78,7 @@ def collect_aggregations(
     target_column: str | None = None,
     columns_to_exclude: list[str] | None = None,
     approx_distinct: bool = False,
+    approx_median: bool = False,
 ) -> AggregationPlan:
     """Build the full stage-1 aggregate expression list for ``df``.
 
@@ -116,7 +117,14 @@ def collect_aggregations(
                     F.min(c).alias(f"{NUMERIC_PREFIX}{col}{STAT_SEP}Min"),
                     F.max(c).alias(f"{NUMERIC_PREFIX}{col}{STAT_SEP}Max"),
                     F.avg(c).alias(f"{NUMERIC_PREFIX}{col}{STAT_SEP}Mean"),
-                    F.median(c).alias(f"{NUMERIC_PREFIX}{col}{STAT_SEP}Median"),
+                    # exact median buffers every group value (object-hash
+                    # agg, spills to sort); percentile_approx is the
+                    # bounded-memory sketch for the 10^12-row regime
+                    (
+                        F.percentile_approx(c, 0.5, 10000)
+                        if approx_median
+                        else F.median(c)
+                    ).alias(f"{NUMERIC_PREFIX}{col}{STAT_SEP}Median"),
                     F.stddev_samp(c).alias(
                         f"{NUMERIC_PREFIX}{col}{STAT_SEP}Standard deviation"
                     ),

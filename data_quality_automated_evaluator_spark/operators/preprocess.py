@@ -137,7 +137,7 @@ def make_preprocessing(
     Config keys (all optional except the date column's presence in the
     data): ``filter``, ``transformations``, ``date_column``,
     ``time_interval``, ``target_column``, ``columns_to_exclude``,
-    ``approx_distinct``.
+    ``approx_distinct``, ``approx_median``.
 
     Returns the per-interval aggregate as a *lazy* DataFrame (callers
     collect; at #intervals rows it is tiny) plus column metadata.
@@ -158,6 +158,7 @@ def make_preprocessing(
         target_column=target_column,
         columns_to_exclude=config.get("columns_to_exclude"),
         approx_distinct=bool(config.get("approx_distinct", False)),
+        approx_median=bool(config.get("approx_median", False)),
     )
     agg = df.groupBy(TIME_INTERVAL_COL).agg(*plan.exprs).orderBy(TIME_INTERVAL_COL)
     if config.get("explain"):
