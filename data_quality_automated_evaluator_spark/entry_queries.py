@@ -1229,3 +1229,53 @@ def stratified_take_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
     return stratified_take(docs, 7, "source", "doc_id").orderBy("doc_id")
+
+
+from .operators.dedup import simhash_md5_pairs_cte as _simhash_cte
+
+
+@register(
+    "near_dup_resolve_documents",
+    oracle=f"""
+    WITH RECURSIVE {_simhash_cte(_SIMHASH_BASE_SQL)},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)
+    SELECT n.doc_id,
+           CAST(coalesce(c.component, n.doc_id) AS BIGINT) AS component,
+           (c.component IS NULL OR c.component = n.doc_id) AS keep
+    FROM (SELECT doc_id FROM base) n
+    LEFT JOIN comp c USING (doc_id)
+    ORDER BY n.doc_id
+    """,
+)
+def near_dup_resolve_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup KEEP/DROP: simhash pairs (pure-Catalyst
+    md5-nibble signatures) resolved into duplicate clusters by
+    distributed min-label propagation with pointer jumping
+    (operators/components.py), one representative kept per cluster.
+    The DuckDB oracle rebuilds the identical pair set and closes it
+    with a recursive transitive-reachability CTE — components, keep
+    flags and cluster representatives must all agree exactly."""
+    from .operators.components import resolve_duplicates
+    from .operators.dedup import simhash_md5_pairs
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id", "text").filter("doc_id < 500")
+    )
+    mutated = (
+        docs.filter(F.col("doc_id") < 50)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    )
+    all_docs = docs.unionAll(mutated)
+    pairs = simhash_md5_pairs(all_docs, max_hamming=3)
+    return resolve_duplicates(all_docs, pairs).orderBy("doc_id")

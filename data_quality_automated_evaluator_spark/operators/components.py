@@ -1,0 +1,119 @@
+"""Connected components over duplicate-pair edges: pairs → clusters →
+keep/drop.
+
+The near-dup operators (:mod:`.dedup`, :mod:`.similarity`) emit PAIRS;
+a pipeline must resolve them into per-document decisions (keep one
+representative per duplicate CLUSTER — pairs are not enough: a~b, b~c
+must drop both b and c even when a~c was never emitted). This is
+min-label propagation with pointer jumping, pure DataFrame ops — no
+GraphFrames/GraphX dependency:
+
+- each iteration: every node takes the min of its own label, its
+  neighbors' labels (one shuffle: edge ⋈ label + groupBy min), and its
+  label's label (pointer jump — label chains halve each round, giving
+  O(log diameter) convergence instead of O(diameter));
+- iterations are ``localCheckpoint``-ed: iterative plans otherwise grow
+  lineage exponentially and re-execute the whole history each round;
+- convergence = zero labels changed (counted per round).
+
+Duplicate clusters in practice are near-cliques of tiny diameter, so
+this converges in 2-3 rounds; the pointer jump bounds adversarial
+chains. At 10^12 scale each round is one self-equijoin on node id — the
+edge set (near-dup pairs) is orders of magnitude smaller than the
+corpus, so the loop runs on the candidate subgraph only.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+__all__ = ["connected_components", "resolve_duplicates"]
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(id, component) for every node appearing in ``pairs``; the
+    component label is the minimum node id of the component (so a
+    label equal to the node's own id marks the representative)."""
+    e = pairs.select(
+        F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
+    )
+    edges = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for it in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        stepped = labels.join(nbr, labels["id"] == nbr["a"], "left").select(
+            labels["id"],
+            F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+        )
+        parent = stepped.select(
+            F.col("id").alias("pid"), F.col("label").alias("plabel")
+        )
+        jumped = (
+            stepped.join(parent, stepped["label"] == parent["pid"], "left")
+            .select(
+                stepped["id"],
+                F.coalesce("plabel", "label").alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.join(labels.withColumnRenamed("label", "old"), "id")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = jumped
+        if changed == 0:
+            break
+    else:
+        log.warning(
+            "connected_components: not converged after %d iterations "
+            "(pathologically long duplicate chain?)", max_iter
+        )
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def resolve_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Per-document keep/drop from near-dup pairs: one row per doc with
+    ``(id_col, component, keep)`` — ``keep`` is true for the minimum-id
+    member of each duplicate cluster and for every unpaired doc."""
+    comp = connected_components(pairs, id_a, id_b)
+    base = docs.select(F.col(id_col).cast("long").alias("id")).distinct()
+    return (
+        base.join(comp, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("component", F.col("id")).alias("component"),
+            (
+                F.col("component").isNull()
+                | (F.col("component") == F.col("id"))
+            ).alias("keep"),
+        )
+    )

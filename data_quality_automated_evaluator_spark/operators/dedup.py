@@ -347,6 +347,19 @@ def simhash_md5_pairs(
     return out
 
 
+def simhash_md5_pairs_cte(
+    base_sql: str, max_hamming: int = 3, k: int = 5
+) -> str:
+    """The :func:`simhash_md5_oracle_sql` construction as a composable
+    CTE chain ending in ``pairs(id_a, id_b, hamming)`` — for oracles
+    that post-process the pair set (e.g. connected components)."""
+    inner = simhash_md5_oracle_sql(base_sql, max_hamming, k)
+    head, tail = inner.split("\n    SELECT id_a, id_b,", 1)
+    body = head.split("WITH ", 1)[1]
+    select = "SELECT id_a, id_b," + tail.rsplit("ORDER BY", 1)[0]
+    return f"{body}, pairs AS ({select})"
+
+
 def simhash_md5_oracle_sql(
     base_sql: str, max_hamming: int = 3, k: int = 5
 ) -> str:

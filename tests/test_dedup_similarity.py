@@ -499,3 +499,34 @@ def test_stratified_sample_properties(spark):
     assert {r["doc_id"] for r in take.collect()} == {
         r["doc_id"] for r in take2.collect()
     }
+
+
+def test_connected_components_and_resolve(spark):
+    from data_quality_automated_evaluator_spark.operators.components import (
+        connected_components,
+        resolve_duplicates,
+    )
+
+    # chain 1-2-3-4 (transitive closure without the 1~4 edge), pair 10-11,
+    # singleton edge 20-21, unpaired docs 30, 31
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21, 30, 31]], "doc_id long"
+    )
+    res = {r["doc_id"]: r for r in resolve_duplicates(docs, pairs).collect()}
+    assert {d for d, r in res.items() if r["keep"]} == {1, 10, 20, 30, 31}
+    assert res[30]["component"] == 30  # unpaired: own cluster
+
+    # long adversarial chain: pointer jumping must converge well under
+    # max_iter (label propagation alone would need ~60 rounds)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 160)], "id_a long, id_b long"
+    )
+    comp2 = {r["id"]: r["component"] for r in connected_components(chain, max_iter=12).collect()}
+    assert set(comp2.values()) == {100}
