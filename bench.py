@@ -91,6 +91,53 @@ def _hw_parallel_factor(n: int) -> float:
     return walls[1] / walls[0]
 
 
+_BURN_SNIPPET = r"""
+import multiprocessing as mp, time, sys
+def burn(q):
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(10_000_000):
+        x += i * i
+    q.put(time.perf_counter() - t0)
+n = int(sys.argv[1]); best = 0.0
+for _ in range(3):
+    q = mp.Queue()
+    ps = [mp.Process(target=burn, args=(q,)) for _ in range(n)]
+    [p.start() for p in ps]; [p.join() for p in ps]
+    ts = [q.get() for _ in range(n)]
+    best = max(best, sum(1.0 / t for t in ts))
+print("RESULT", best)
+"""
+
+
+def _hw_pair_control(
+    n_small: int, cpus_small: str, n_big: int, cpus_big: str
+) -> tuple[float, float]:
+    """Matched pure-CPU control for a concurrent scaling pair: burn
+    ``n_small`` / ``n_big`` arithmetic processes pinned to the SAME
+    disjoint CPU sets the pipeline pair used, simultaneously. Returns
+    aggregate burn rates (sum of 1/t per process, best of 3 waves) —
+    the hardware's own N→4N scaling under identical conditions, so
+    pipeline efficiency can be separated from hypervisor-steal /
+    frequency ceilings that a real 4N-executor cluster would not share
+    (each executor brings its own silicon)."""
+    import subprocess
+
+    p_s = subprocess.Popen(
+        ["taskset", "-c", cpus_small, sys.executable, "-c", _BURN_SNIPPET,
+         str(n_small)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    p_b = subprocess.Popen(
+        ["taskset", "-c", cpus_big, sys.executable, "-c", _BURN_SNIPPET,
+         str(n_big)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    out_b, err_b = p_b.communicate(timeout=300)
+    out_s, err_s = p_s.communicate(timeout=300)
+    return _parse_result(out_s, err_s), _parse_result(out_b, err_b)
+
+
 def _run_pipeline(spark, path: str) -> tuple[float, int]:
     """Time the full pipeline end-to-end through the real sink (one pass:
     features -> rules -> scrub -> partitioned write -> stats + ledger).
@@ -139,9 +186,17 @@ def _pinned_steady_sec(cores: int, path: str, runs: int = 2) -> float:
     return _parse_result(out.stdout, out.stderr)
 
 
-def _concurrent_pair_secs(path: str) -> tuple[float, float]:
-    """The N vs 4N measurement: the SAME job at 2 pinned cores (cpus 0-1)
-    and 8 pinned cores (cpus 2-9) run SIMULTANEOUSLY on disjoint CPU sets.
+def _concurrent_pair_secs(
+    path: str,
+    n_small: int = 2,
+    n_big: int = 8,
+    cpus_small: str = "0-1",
+    cpus_big: str = "2-9",
+    runs_small: int = 2,
+    runs_big: int = 8,
+) -> tuple[float, float]:
+    """An N vs 4N measurement: the SAME job at ``n_small`` and ``n_big``
+    pinned cores run SIMULTANEOUSLY on disjoint CPU sets.
 
     This VM's effective CPU speed drifts by tens of percent minute to
     minute (hypervisor steal); sequential runs therefore compare hardware
@@ -151,23 +206,24 @@ def _concurrent_pair_secs(path: str) -> tuple[float, float]:
     """
     import subprocess
 
-    if os.cpu_count() is None or os.cpu_count() < 10:
+    need = int(cpus_big.split("-")[1]) + 1
+    if os.cpu_count() is None or os.cpu_count() < need:
         # not enough CPUs for disjoint sets — sequential fallback
         return (
-            _pinned_steady_sec(2, path, runs=2),
-            _pinned_steady_sec(8, path, runs=2),
+            _pinned_steady_sec(n_small, path, runs=2),
+            _pinned_steady_sec(n_big, path, runs=2),
         )
-    p2 = subprocess.Popen(
-        _pinned_worker_cmd("0-1", 2, path, 2),
+    p_small = subprocess.Popen(
+        _pinned_worker_cmd(cpus_small, n_small, path, runs_small),
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
     )
-    p8 = subprocess.Popen(
-        _pinned_worker_cmd("2-9", 8, path, 8),
+    p_big = subprocess.Popen(
+        _pinned_worker_cmd(cpus_big, n_big, path, runs_big),
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
     )
-    out8, err8 = p8.communicate(timeout=900)
-    out2, err2 = p2.communicate(timeout=900)
-    return _parse_result(out2, err2), _parse_result(out8, err8)
+    out_b, err_b = p_big.communicate(timeout=900)
+    out_s, err_s = p_small.communicate(timeout=900)
+    return _parse_result(out_s, err_s), _parse_result(out_b, err_b)
 
 
 
@@ -231,27 +287,62 @@ def main() -> None:
         sec2b, sec8b = _concurrent_pair_secs(scale_path)
         tps[2] = n_scale / min(sec2, sec2b)
         tps[8] = n_scale / min(sec8, sec8b)
+        # a second, independent N->4N pair at higher absolute parallelism
+        # (4-core on cpus 0-3 vs 16-core on cpus 4-19, simultaneous) —
+        # two pairs beat one pair + a sequential 32-way leg, because the
+        # 32-way number is dominated by whatever the hypervisor does in
+        # that particular minute (observed raw 8->32 anywhere in
+        # 0.07-0.40 with a pure-CPU control ceiling of ~0.5)
+        sec4, sec16 = _concurrent_pair_secs(
+            scale_path, n_small=4, n_big=16, cpus_small="0-3",
+            cpus_big="4-19", runs_small=3, runs_big=10,
+        )
+        sec4b, sec16b = _concurrent_pair_secs(
+            scale_path, n_small=4, n_big=16, cpus_small="0-3",
+            cpus_big="4-19", runs_small=3, runs_big=10,
+        )
+        tps[4] = n_scale / min(sec4, sec4b)
+        tps[16] = n_scale / min(sec16, sec16b)
         sec32 = _pinned_steady_sec(min(32, CPUS), scale_path)
         tps[min(32, CPUS)] = n_scale / sec32
         hw32 = _hw_parallel_factor(min(32, CPUS))
+        # matched pure-CPU controls, same CPU sets, run concurrently like
+        # the pipeline pairs: the hardware's OWN N->4N scaling on this VM
+        hw_s_28, hw_b_28 = _hw_pair_control(2, "0-1", 8, "2-9")
+        hw_eff_2_8 = hw_b_28 / (4.0 * hw_s_28)
+        hw_s_416, hw_b_416 = _hw_pair_control(4, "0-3", 16, "4-19")
+        hw_eff_4_16 = hw_b_416 / (4.0 * hw_s_416)
         eff_2_8 = tps[8] / (4.0 * tps[2])
+        eff_4_16 = tps[16] / (4.0 * tps[4])
         eff_8_32 = tps[min(32, CPUS)] / (4.0 * tps[8])
         scaling = {
             "method": (
                 "CPU-pinned warm steady-state, full pipeline, noop sink, "
-                "same input at every level; 2-core (cpus 0-1) and 8-core "
-                "(cpus 2-9) run simultaneously on disjoint sets so the "
-                "N->4N ratio is weather-free; best-of-runs per level"
+                "same input at every level; each N->4N pair (2|8 on cpus "
+                "0-1|2-9, then 4|16 on cpus 0-3|4-19) runs simultaneously "
+                "on disjoint sets so the ratio is weather-free; "
+                "best-of-runs per level"
             ),
             "n_turns": n_scale,
             "turns_per_sec": {str(k): round(v, 1) for k, v in tps.items()},
             "scaling_efficiency_2_to_8": round(eff_2_8, 3),
+            "scaling_efficiency_4_to_16": round(eff_4_16, 3),
             "scaling_efficiency_8_to_32": round(eff_8_32, 3),
+            "hw_control_efficiency_2_to_8": round(hw_eff_2_8, 3),
+            "hw_control_efficiency_4_to_16": round(hw_eff_4_16, 3),
+            "hw_normalized_2_to_8": round(min(eff_2_8 / hw_eff_2_8, 1.0), 3),
+            "hw_normalized_4_to_16": round(min(eff_4_16 / hw_eff_4_16, 1.0), 3),
             "hw_parallel_factor_32way": round(hw32, 3),
             "note": (
-                "pure-CPU 32-proc control runs at 1/hw_parallel_factor of "
-                "single-proc speed on this VM — the 8->32 figure divided by "
-                "that ceiling gives the pipeline's own scaling"
+                "hw_control_* is a matched pure-CPU burn pair on the SAME "
+                "disjoint CPU sets run the same way — the VM's silicon/"
+                "steal ceiling for that shape; hw_normalized_* = pipeline "
+                "efficiency / hardware efficiency (capped at 1), i.e. the "
+                "coordination overhead the pipeline itself adds, which is "
+                "what transfers to a real cluster where 4N executors bring "
+                "their own silicon. The sequential 8->32 leg is single-"
+                "minute weather-bound (raw 0.07-0.40 observed) and kept "
+                "only as context"
             ),
         }
 

@@ -114,6 +114,10 @@ def _assemble(key: tuple, pdf_iter: Iterator[pd.DataFrame],
         turn_idxs, roles, min_ts_us, max_ts_us = [], [], None, None
 
     for pdf in pdf_iter:
+        if len(pdf) == 0:
+            # the runtime may hand over empty Arrow batches; min()/max()
+            # below would produce NaN and crash the int() conversion
+            continue
         turn_idxs.extend(int(x) for x in pdf["turn_idx"])
         roles.extend(str(x) for x in pdf["role"])
         ts_us = pd.to_datetime(pdf["ts"]).astype("int64") // 1_000
