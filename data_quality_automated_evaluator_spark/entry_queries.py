@@ -1279,3 +1279,47 @@ def near_dup_resolve_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_docs = docs.unionAll(mutated)
     pairs = simhash_md5_pairs(all_docs, max_hamming=3)
     return resolve_duplicates(all_docs, pairs).orderBy("doc_id")
+
+
+from .functions.normalize import normalize_oracle_expr as _norm_expr
+
+_NORM_PROBES = [
+    (900001, "café  bar\tbaz\n"),          # decomposed é + ws runs
+    (900002, "ctrl\x01\x02chars\x7fend"),        # control chars
+    (900003, "  edge  spaces  "),
+    (900004, "é composed vs café"),   # mixed forms
+]
+_NORM_PROBE_SQL = " UNION ALL ".join(
+    f"SELECT {i} AS doc_id, '{t}' AS text" for i, t in _NORM_PROBES
+)
+
+
+@register(
+    "normalize_text_documents",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 200
+      UNION ALL {_NORM_PROBE_SQL}
+    )
+    SELECT doc_id, {_norm_expr('text')} AS text_norm
+    FROM base ORDER BY doc_id
+    """,
+)
+def normalize_text_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-cleaning normalization: NFC (Arrow UDF — DuckDB's native
+    nfc_normalize makes this a rare oracle-checked pandas UDF) + control
+    strip + whitespace collapse (JVM regex chains), over documents plus
+    planted probes (decomposed accents, control chars, whitespace runs).
+    String-exact value parity."""
+    from .functions.normalize import with_normalized_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        "doc_id < 200"
+    )
+    probes = spark.createDataFrame(_NORM_PROBES, "doc_id long, text string")
+    base = docs.unionByName(probes)
+    return (
+        with_normalized_text(base)
+        .select("doc_id", "text_norm")
+        .orderBy("doc_id")
+    )

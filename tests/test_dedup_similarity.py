@@ -530,3 +530,33 @@ def test_connected_components_and_resolve(spark):
     )
     comp2 = {r["id"]: r["component"] for r in connected_components(chain, max_iter=12).collect()}
     assert set(comp2.values()) == {100}
+
+
+def test_normalize_text_semantics_and_idempotence(spark):
+    from pyspark.sql import functions as F
+
+    from data_quality_automated_evaluator_spark.functions.normalize import (
+        normalize_text_col,
+        with_normalized_text,
+    )
+
+    rows = [
+        (1, "café  bar\tbaz\n"),
+        (2, "ctrl\x01\x02chars\x7fend"),
+        (3, "  edge  spaces  "),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text_norm"] for r in with_normalized_text(df).collect()}
+    assert out[1] == "café bar baz"  # NFC-composed, ws collapsed, trimmed
+    assert out[2] == "ctrlcharsend"
+    assert out[3] == "edge spaces"
+    assert out[4] is None  # null-safe
+    assert out[5] == ""
+
+    # idempotence: normalizing the normalized column changes nothing
+    twice = df.withColumn("n1", normalize_text_col(F.col("text"))).withColumn(
+        "n2", normalize_text_col(F.col("n1"))
+    )
+    assert twice.filter("n1 IS DISTINCT FROM n2").count() == 0
