@@ -1323,3 +1323,79 @@ def normalize_text_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text_norm")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "boilerplate_lines_documents",
+    oracle="""
+    WITH multi AS (
+      SELECT CAST(doc_id // 4 AS BIGINT) AS doc_id,
+             'HEADER: shared nav line' || chr(10) ||
+             string_agg(substr(text, 1, 80), chr(10) ORDER BY doc_id) ||
+             chr(10) || 'FOOTER: subscribe now' AS text
+      FROM documents WHERE doc_id < 400 GROUP BY 1
+    ),
+    lines AS (
+      SELECT doc_id, i AS pos,
+             list_extract(string_split(text, chr(10)), i) AS line
+      FROM multi,
+           UNNEST(range(1, len(string_split(text, chr(10))) + 1)) AS t(i)
+    ),
+    boiler AS (
+      SELECT line FROM (
+        SELECT line, count(DISTINCT doc_id) AS n FROM lines GROUP BY line
+      ) WHERE n >= 2
+    ),
+    kept AS (
+      SELECT l.doc_id, l.pos, l.line FROM lines l
+      ANTI JOIN boiler b USING (line)
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean
+      FROM kept GROUP BY doc_id
+    )
+    SELECT m.doc_id, coalesce(r.text_clean, '') AS text_clean
+    FROM multi m LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY m.doc_id
+    """,
+)
+def boilerplate_lines_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level boilerplate removal: multi-line docs are
+    synthesized deterministically (groups of 4 doc prefixes + planted
+    HEADER/FOOTER lines shared by every doc), then any line occurring in
+    >= 2 distinct docs is dropped with line order preserved. The planted
+    header/footer vanish everywhere; content lines survive unless two
+    groups contain the same duplicate source text — DuckDB rebuilds the
+    identical corpus and cleaning, string-exact parity."""
+    from .operators.lines import remove_boilerplate_lines
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        "doc_id < 400"
+    )
+    grouped = docs.groupBy(
+        F.floor(F.col("doc_id") / 4).cast("long").alias("doc_id")
+    ).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("doc_id").alias("oid"),
+                            F.substring("text", 1, 80).alias("sub"),
+                        )
+                    )
+                ),
+                lambda x: x["sub"],
+            ),
+        ).alias("body")
+    )
+    multi = grouped.select(
+        "doc_id",
+        F.concat(
+            F.lit("HEADER: shared nav line\n"),
+            F.col("body"),
+            F.lit("\nFOOTER: subscribe now"),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(multi, min_docs=2).orderBy("doc_id")

@@ -560,3 +560,31 @@ def test_normalize_text_semantics_and_idempotence(spark):
         "n2", normalize_text_col(F.col("n1"))
     )
     assert twice.filter("n1 IS DISTINCT FROM n2").count() == 0
+
+
+def test_remove_boilerplate_lines(spark):
+    from data_quality_automated_evaluator_spark.operators.lines import (
+        line_frequencies,
+        remove_boilerplate_lines,
+    )
+
+    rows = [
+        (1, "HEAD\nunique one\nmid\nFOOT"),
+        (2, "HEAD\nunique two\nFOOT"),
+        (3, "HEAD\nFOOT"),            # all boilerplate -> empty
+        (4, "alone\nmid"),            # 'mid' shared with doc 1
+        (5, "x\nunique five\nx"),     # short line, exempt via min_line_chars
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text_clean"]
+        for r in remove_boilerplate_lines(df, min_docs=2, min_line_chars=2).collect()
+    }
+    assert out[1] == "unique one"           # HEAD/FOOT/mid dropped
+    assert out[2] == "unique two"
+    assert out[3] == ""                     # fully boilerplate
+    assert out[4] == "alone"
+    assert out[5] == "x\nunique five\nx"    # short lines never dropped
+
+    freq = {r["line"]: r["n_docs"] for r in line_frequencies(df, min_line_chars=2).collect()}
+    assert freq["HEAD"] == 3 and freq["mid"] == 2 and freq["unique one"] == 1
