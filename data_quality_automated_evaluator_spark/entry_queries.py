@@ -1399,3 +1399,51 @@ def boilerplate_lines_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return remove_boilerplate_lines(multi, min_docs=2).orderBy("doc_id")
+
+
+@register(
+    "dedup_lines_documents",
+    oracle="""
+    WITH multi AS (
+      SELECT doc_id,
+             substr(text, 1, 40) || chr(10) || substr(text, 41, 40) ||
+             chr(10) || substr(text, 1, 40) || chr(10) ||
+             substr(text, 41, 40) AS text
+      FROM documents WHERE doc_id < 300
+    ),
+    lines AS (
+      SELECT doc_id, i AS pos,
+             list_extract(string_split(text, chr(10)), i) AS line
+      FROM multi,
+           UNNEST(range(1, len(string_split(text, chr(10))) + 1)) AS t(i)
+    ),
+    kept AS (
+      SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+      FROM lines
+    )
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean
+    FROM kept WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_lines_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-line collapse (generation-loop cleanup):
+    docs are synthesized with each line repeated twice; only first
+    occurrences survive, order preserved. DuckDB rebuilds the identical
+    corpus and window — string-exact parity."""
+    from .operators.lines import dedup_lines_within_doc
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        "doc_id < 300"
+    )
+    multi = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 40),
+            F.substring("text", 41, 40),
+            F.substring("text", 1, 40),
+            F.substring("text", 41, 40),
+        ).alias("text"),
+    )
+    return dedup_lines_within_doc(multi).orderBy("doc_id")

@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["line_frequencies", "remove_boilerplate_lines"]
+__all__ = [
+    "dedup_lines_within_doc",
+    "line_frequencies",
+    "remove_boilerplate_lines",
+]
 
 
 def _lines(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -47,6 +51,37 @@ def line_frequencies(
         .groupBy("line")
         .agg(F.count_distinct("_id").alias("n_docs"))
     )
+
+
+def dedup_lines_within_doc(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Keep only the FIRST occurrence of each exact line within a
+    document (repeated-paragraph collapse — generation loops and
+    templated transcripts repeat blocks verbatim). One shuffle by doc
+    id; the dedup window partitions on (doc, line), bounded by document
+    length, so no corpus-level hot key can form."""
+    from pyspark.sql import Window
+
+    lines = _lines(docs, text_col, id_col)
+    w = Window.partitionBy("_id", "line").orderBy("pos")
+    kept = (
+        lines.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias(out_col)
+    )
+    return rebuilt.select(F.col("_id").alias(id_col), out_col)
 
 
 def remove_boilerplate_lines(

@@ -588,3 +588,20 @@ def test_remove_boilerplate_lines(spark):
 
     freq = {r["line"]: r["n_docs"] for r in line_frequencies(df, min_line_chars=2).collect()}
     assert freq["HEAD"] == 3 and freq["mid"] == 2 and freq["unique one"] == 1
+
+
+def test_dedup_lines_within_doc(spark):
+    from data_quality_automated_evaluator_spark.operators.lines import (
+        dedup_lines_within_doc,
+    )
+
+    rows = [
+        (1, "a\nb\na\nc\nb\na"),
+        (2, "loop\nloop\nloop"),
+        (3, "single"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text_clean"] for r in dedup_lines_within_doc(df).collect()}
+    assert out[1] == "a\nb\nc"
+    assert out[2] == "loop"
+    assert out[3] == "single"
