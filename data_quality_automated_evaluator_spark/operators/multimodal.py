@@ -2,14 +2,14 @@
 columns with typed metadata.
 
 The Spark-side machinery is real and tested — schemas, Arrow batch
-shapes, ``mapInPandas`` signatures, partition sizing — while the codec
-step itself is stubbed: this container ships no image/audio libraries,
-so ``decode_image_meta`` parses only well-known header bytes
-(PNG/JPEG/GIF dimensions — pure Python, deterministic) and
-``extract_features``/``resize_image``/``sample_frames`` produce
-deterministic fakes behind clearly-marked seams. Swapping in Pillow /
-torchaudio / pyav changes ONE function body each; the distributed
-plumbing stays identical.
+shapes, ``mapInPandas`` signatures, partition sizing. Codec depth
+varies by format, honestly marked: WAV metadata (full RIFF chunk walk)
+and PNG decode/resize/encode (``functions/png.py``, stdlib zlib +
+numpy, all five scanline filters) are REAL; JPEG/GIF are header-only
+parses; ``extract_features``/``sample_frames`` remain deterministic
+fakes behind clearly-marked seams (no DCT/video codecs in this
+container). Swapping in Pillow / torchaudio / pyav changes ONE
+function body each; the distributed plumbing stays identical.
 
 Scale shape: binary payloads never shuffle — all multimodal transforms
 are map-only (``mapInPandas``), so the plan is scan → transform → sink
@@ -189,17 +189,44 @@ def extract_features(df: DataFrame, content_col: str = "content", id_col: str = 
 
 def resize_image(df: DataFrame, width: int, height: int,
                  content_col: str = "content", id_col: str = "media_id") -> DataFrame:
-    """Resize seam — STUB: raises at execution time until a codec library
-    is installed. The plan-side contract (schema, map-only shape) is real."""
+    """Image resize, map-only. REAL for PNG (pure-stdlib codec in
+    ``functions/png.py``: zlib inflate, all five scanline unfilters,
+    nearest-neighbor resample, re-encode); other formats yield a NULL
+    content with the reason in ``error`` — a malformed or unsupported
+    file must never kill the task (quality-evaluator contract), and a
+    codec library (Pillow) widens format support by replacing one
+    function body."""
+    from ..functions.png import PngFormatError, resize_png
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "image resize requires a codec library (e.g. Pillow); "
-            "install it and replace this stub body with Image.resize"
-        )
-        yield  # pragma: no cover
+        for pdf in it:
+            out_bytes: list[bytes | None] = []
+            errors: list[str | None] = []
+            for c in pdf[content_col]:
+                if c is None:
+                    out_bytes.append(None)
+                    errors.append("null content")
+                    continue
+                try:
+                    out_bytes.append(resize_png(bytes(c), width, height))
+                    errors.append(None)
+                except PngFormatError as ex:
+                    out_bytes.append(None)
+                    errors.append(str(ex))
+                except Exception as ex:  # malformed beyond recognition
+                    out_bytes.append(None)
+                    errors.append(f"decode failed: {ex}")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].values,
+                    "content": out_bytes,
+                    "error": errors,
+                }
+            )
 
-    return df.mapInPandas(_batches, schema="media_id long, content binary")
+    return df.mapInPandas(
+        _batches, schema="media_id long, content binary, error string"
+    )
 
 
 def sample_frames(df: DataFrame, every_n: int = 30,

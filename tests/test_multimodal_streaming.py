@@ -77,9 +77,15 @@ def test_audio_metadata_wav_headers(spark, media):
     assert (out["duration_sec"] > 0).all()
 
 
-def test_resize_is_explicit_stub(spark, media):
-    with pytest.raises(Exception, match="(?i)codec|NotImplemented"):
-        resize_image(media, 64, 64).collect()
+def test_resize_survives_undecodable_media(spark, media):
+    """resize_image is now REAL for PNG (tests/test_png_codec.py); the
+    fake-media table's header-only PNGs and GIF/WAV rows are
+    undecodable — they must come back as error rows, never task
+    failures (dirty-input contract)."""
+    out = resize_image(media, 64, 64).toPandas()
+    assert len(out) == media.count()
+    assert out["content"].isna().all()  # nothing in this table decodes
+    assert out["error"].notna().all()
 
 
 def test_sample_frames_shape(spark, media):
