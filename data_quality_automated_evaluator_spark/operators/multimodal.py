@@ -166,11 +166,37 @@ def make_wav_bytes(seconds: float = 1.0, rate: int = 16000, channels: int = 1,
 FEATURE_DIM = 16
 
 
+def _png_pixel_features(content: bytes) -> list[float] | None:
+    """REAL 16-float feature vector from decoded PNG pixels: per-channel
+    mean/std (RGBA-padded) + an 8-bin luminance histogram. None when the
+    content is not a decodable PNG."""
+    from ..functions.png import PngFormatError, decode_png
+
+    try:
+        img = decode_png(content)
+    except PngFormatError:
+        return None
+    except Exception:
+        return None
+    f = img.reshape(-1, img.shape[2]).astype(np.float64) / 255.0
+    means = f.mean(axis=0)
+    stds = f.std(axis=0)
+    lum = f.mean(axis=1)
+    hist, _ = np.histogram(lum, bins=8, range=(0.0, 1.0))
+    hist = hist / max(len(lum), 1)
+    out = np.zeros(FEATURE_DIM, dtype=np.float64)
+    out[: len(means)] = means[:4]
+    out[4 : 4 + len(stds)] = stds[:4]
+    out[8:16] = hist
+    return out.tolist()
+
+
 def extract_features(df: DataFrame, content_col: str = "content", id_col: str = "media_id") -> DataFrame:
-    """Deterministic fake feature extraction (STUB for a real vision/audio
-    encoder): 16 floats derived from the content digest. The batching,
-    schema, and scale shape are exactly what a real encoder UDF uses
-    (model weights would be broadcast; batches sized by Arrow limits)."""
+    """Feature extraction, map-only. REAL for decodable PNGs (per-channel
+    mean/std + luminance histogram from actual pixels); every other
+    format falls back to the deterministic digest-derived fake — the
+    honest seam for a vision/audio encoder (model weights would be
+    broadcast; batches sized by Arrow limits)."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -178,6 +204,10 @@ def extract_features(df: DataFrame, content_col: str = "content", id_col: str = 
             for c in pdf[content_col]:
                 if c is None:
                     feats.append([0.0] * FEATURE_DIM)
+                    continue
+                real = _png_pixel_features(bytes(c))
+                if real is not None:
+                    feats.append(real)
                     continue
                 digest = hashlib.sha256(c).digest()
                 arr = np.frombuffer(digest[: FEATURE_DIM * 2], dtype=np.uint16)
@@ -256,9 +286,17 @@ def make_fake_media(spark, n: int = 64) -> DataFrame:
     rows = []
     for i in range(n):
         if i % 4 == 0:
+            # a REAL decodable PNG (deterministic gradient) so metadata,
+            # resize and pixel features all exercise the actual codec
+            from ..functions.png import encode_png
+
             w, h = 16 + i, 9 + i
-            content = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8 + struct.pack(">II", w, h) + bytes([i % 251]) * 100
-            rows.append((i, "image", content, "image/png", w, h))
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack(
+                [(xx * 7 + i) % 256, (yy * 11 + i) % 256, (xx + yy + i) % 256],
+                axis=2,
+            ).astype(np.uint8)
+            rows.append((i, "image", encode_png(img), "image/png", w, h))
         elif i % 4 == 1:
             w, h = 32 + i, 18 + i
             content = b"GIF89a" + struct.pack("<HH", w, h) + bytes([i % 251]) * 50

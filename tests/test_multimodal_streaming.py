@@ -77,15 +77,21 @@ def test_audio_metadata_wav_headers(spark, media):
     assert (out["duration_sec"] > 0).all()
 
 
-def test_resize_survives_undecodable_media(spark, media):
-    """resize_image is now REAL for PNG (tests/test_png_codec.py); the
-    fake-media table's header-only PNGs and GIF/WAV rows are
-    undecodable — they must come back as error rows, never task
-    failures (dirty-input contract)."""
-    out = resize_image(media, 64, 64).toPandas()
+def test_resize_real_pngs_and_dirty_rows(spark, media):
+    """resize_image is REAL for PNG: the fixture's PNG rows decode,
+    resample and re-encode; GIF/WAV/video rows come back as error rows,
+    never task failures (dirty-input contract)."""
+    from data_quality_automated_evaluator_spark.functions.png import decode_png
+
+    out = resize_image(media, 64, 64).toPandas().set_index("media_id")
     assert len(out) == media.count()
-    assert out["content"].isna().all()  # nothing in this table decodes
-    assert out["error"].notna().all()
+    kinds = {r["media_id"]: r["mime"] for r in media.select("media_id", "mime").collect()}
+    for mid, row in out.iterrows():
+        if kinds[mid] == "image/png":
+            assert row["error"] is None, row["error"]
+            assert decode_png(bytes(row["content"])).shape == (64, 64, 3)
+        else:
+            assert row["content"] is None and row["error"] is not None
 
 
 def test_sample_frames_shape(spark, media):
