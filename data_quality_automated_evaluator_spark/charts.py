@@ -125,6 +125,125 @@ def render_svg(
     return path
 
 
+# --------------------------------------------------------------------------
+# stdlib PNG rasterizer (functions/png.py encoder; no matplotlib needed)
+# --------------------------------------------------------------------------
+
+# procedural 3x5 glyphs for numeric labels (rows of 3 bits, MSB left)
+_DIGIT_FONT = {
+    "0": [0b111, 0b101, 0b101, 0b101, 0b111],
+    "1": [0b010, 0b110, 0b010, 0b010, 0b111],
+    "2": [0b111, 0b001, 0b111, 0b100, 0b111],
+    "3": [0b111, 0b001, 0b111, 0b001, 0b111],
+    "4": [0b101, 0b101, 0b111, 0b001, 0b001],
+    "5": [0b111, 0b100, 0b111, 0b001, 0b111],
+    "6": [0b111, 0b100, 0b111, 0b101, 0b111],
+    "7": [0b111, 0b001, 0b010, 0b010, 0b010],
+    "8": [0b111, 0b101, 0b111, 0b101, 0b111],
+    "9": [0b111, 0b101, 0b111, 0b001, 0b111],
+    ".": [0b000, 0b000, 0b000, 0b000, 0b010],
+    "-": [0b000, 0b000, 0b111, 0b000, 0b000],
+    "+": [0b000, 0b010, 0b111, 0b010, 0b000],
+    "e": [0b000, 0b111, 0b110, 0b100, 0b111],
+}
+
+
+def _blit_text(canvas, y: int, x: int, s: str, color=(60, 60, 60)) -> None:
+    """Draw numeric text with the 3x5 font (unknown chars advance only)."""
+    import numpy as np
+
+    h, w = canvas.shape[:2]
+    cx = x
+    for chx in s:
+        glyph = _DIGIT_FONT.get(chx)
+        if glyph is not None:
+            for gy, bits in enumerate(glyph):
+                for gx in range(3):
+                    if bits & (0b100 >> gx):
+                        py, px = y + gy, cx + gx
+                        if 0 <= py < h and 0 <= px < w:
+                            canvas[py, px] = color
+        cx += 4
+
+
+def _draw_line(canvas, x0, y0, x1, y1, color) -> None:
+    """Dense-sampled segment draw (numpy; good enough at chart scale)."""
+    import numpy as np
+
+    n = int(max(abs(x1 - x0), abs(y1 - y0), 1)) * 2
+    t = np.linspace(0.0, 1.0, n + 1)
+    xs = np.clip((x0 + (x1 - x0) * t).round().astype(int), 0, canvas.shape[1] - 1)
+    ys = np.clip((y0 + (y1 - y0) * t).round().astype(int), 0, canvas.shape[0] - 1)
+    canvas[ys, xs] = color
+
+
+def render_png(
+    data: pd.DataFrame, evaluations: list[ColumnEvaluation], path: str
+) -> str:
+    """Dependency-free PNG chart grid via the stdlib codec
+    (functions/png.py): per-evaluation panel with frame, shaded outlier
+    band, series polyline and numeric min/max tick labels. Panel titles
+    (arbitrary text) live in the SVG/markdown — the procedural font
+    covers numerals only, honestly."""
+    import numpy as np
+
+    from .functions.png import encode_png
+
+    n = max(len(evaluations), 1)
+    H, W = _SVG_H * n, _SVG_W
+    canvas = np.full((H, W, 3), 255, dtype=np.uint8)
+    for i, ev in enumerate(evaluations):
+        y_off = i * _SVG_H
+        ys = [
+            None if pd.isna(v) else float(v)
+            for v in pd.to_numeric(data[ev.column], errors="coerce")
+        ]
+        vals = [v for v in ys if v is not None]
+        lo = min(vals) if vals else 0.0
+        hi = max(vals) if vals else 1.0
+        lb, ub = ev.chart_bounds
+        if lb is not None and not pd.isna(lb):
+            lo = min(lo, float(lb))
+        if ub is not None and not pd.isna(ub):
+            hi = max(hi, float(ub))
+        if hi == lo:
+            hi = lo + 1.0
+        plot_w = W - _PAD_L - _PAD_R
+        plot_h = _SVG_H - _PAD_T - _PAD_B
+        top, left = y_off + _PAD_T, _PAD_L
+
+        def sx(j):
+            return left + plot_w * j / max(len(ys) - 1, 1)
+
+        def sy(v):
+            return top + plot_h * (1 - (v - lo) / (hi - lo))
+
+        # frame
+        canvas[top, left:left + plot_w] = (200, 200, 200)
+        canvas[top + plot_h, left:left + plot_w] = (200, 200, 200)
+        canvas[top:top + plot_h + 1, left] = (200, 200, 200)
+        canvas[top:top + plot_h + 1, left + plot_w - 1] = (200, 200, 200)
+        # outlier band (alpha-blended grey, reference highlight_outliers)
+        if lb is not None and ub is not None and not pd.isna(lb) and not pd.isna(ub):
+            b_top = int(max(sy(float(ub)), top))
+            b_bot = int(min(sy(float(lb)), top + plot_h))
+            if b_bot > b_top:
+                region = canvas[b_top:b_bot, left + 1:left + plot_w - 1].astype(np.int32)
+                canvas[b_top:b_bot, left + 1:left + plot_w - 1] = (
+                    (region * 88 + np.array([128, 128, 128]) * 12) // 100
+                ).astype(np.uint8)
+        # series polyline
+        pts = [(sx(j), sy(v)) for j, v in enumerate(ys) if v is not None]
+        for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+            _draw_line(canvas, x0, y0, x1, y1, (70, 70, 70))
+        # numeric min/max tick labels
+        _blit_text(canvas, top - 2, 4, f"{hi:.4g}")
+        _blit_text(canvas, top + plot_h - 4, 4, f"{lo:.4g}")
+    with open(path, "wb") as fh:
+        fh.write(encode_png(canvas))
+    return path
+
+
 def make_charts(
     data: pd.DataFrame,
     evaluations: list[ColumnEvaluation],
@@ -142,10 +261,11 @@ def make_charts(
     if fmt is None:
         fmt = "png" if HAVE_MPL else "svg"
     if fmt == "png" and not HAVE_MPL:
-        # an explicit png request without matplotlib degrades to the next
-        # IMAGE format, not to a data file a report would embed as a
-        # broken <img>
-        fmt = "svg"
+        # real PNG without matplotlib: the stdlib rasterizer (series +
+        # outlier band + numeric ticks; titles stay in the markdown/SVG)
+        return render_png(
+            data, evaluations, os.path.join(out_dir, f"{group_name}.png")
+        )
 
     if fmt == "svg":
         return render_svg(data, evaluations, os.path.join(out_dir, f"{group_name}.svg"))

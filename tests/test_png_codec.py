@@ -89,3 +89,35 @@ def test_extract_features_real_for_png(spark):
     assert abs(f[8:16].sum() - 1.0) < 1e-9
     # non-PNG falls back to the digest fake (still deterministic, 16-dim)
     assert len(out[2]) == 16 and not np.allclose(out[2][8:16], f[8:16])
+
+
+def test_render_png_chart_without_matplotlib(tmp_path):
+    import pandas as pd
+
+    from data_quality_automated_evaluator_spark.charts import make_charts
+    from data_quality_automated_evaluator_spark.functions.aggregates import (
+        TIME_INTERVAL_COL,
+    )
+    from data_quality_automated_evaluator_spark.operators.evaluate import (
+        ColumnEvaluation,
+    )
+
+    data = pd.DataFrame(
+        {
+            TIME_INTERVAL_COL: [f"2024-01-{d:02d}" for d in range(1, 11)],
+            "m": [1.0, 2.0, 1.5, 8.0, 1.2, 1.1, 1.4, 1.3, 1.2, 1.6],
+        }
+    )
+    ev = ColumnEvaluation.__new__(ColumnEvaluation)
+    ev.column = "m"
+    ev.title = "metric m"
+    ev.chart_bounds = (0.5, 3.0)
+    path = make_charts(data, [ev], str(tmp_path), "grp", fmt="png")
+    assert path.endswith("grp.png")
+    img = decode_png(open(path, "rb").read())
+    assert img.shape[0] > 100 and img.shape[1] > 500 and img.shape[2] == 3
+    # the canvas is not blank: series/band/frame pixels darker than white
+    assert (img < 250).any()
+    # and the outlier band really shades a horizontal region
+    grey_rows = ((img < 250).any(axis=(1, 2))).sum()
+    assert grey_rows > 20
