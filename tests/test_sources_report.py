@@ -284,16 +284,18 @@ def test_hf_listing_traversal_rejected(tmp_path):
         )
 
 
-def test_charts_png_without_mpl_degrades_to_svg(tmp_path):
-    """An explicit png request without matplotlib must yield an IMAGE
-    (svg), never a data file a report would embed as a broken <img>."""
+def test_charts_png_without_mpl_is_real_png(tmp_path):
+    """An explicit png request without matplotlib yields a REAL decodable
+    PNG via the stdlib rasterizer (functions/png.py), never a data file
+    a report would embed as a broken <img>."""
     import pandas as pd
 
     from data_quality_automated_evaluator_spark import charts as ch
+    from data_quality_automated_evaluator_spark.functions.png import decode_png
     from data_quality_automated_evaluator_spark.operators.evaluate import ColumnEvaluation
 
     if ch.HAVE_MPL:
-        pytest.skip("matplotlib present; png path is real")
+        pytest.skip("matplotlib present; png path is matplotlib's")
     data = pd.DataFrame({"__time_interval": ["a", "b"], "x": [1.0, 2.0]})
     ev = ColumnEvaluation(
         column="x", title="x", mean=1.5, std=0.5, q1=1.0, q3=2.0, min=1.0,
@@ -302,7 +304,9 @@ def test_charts_png_without_mpl_degrades_to_svg(tmp_path):
         chart_bounds=(0.5, 1.5),
     )
     path = ch.make_charts(data, [ev], str(tmp_path), "g", fmt="png")
-    assert path.endswith(".svg")
+    assert path.endswith(".png")
+    img = decode_png(open(path, "rb").read())
+    assert img.shape[2] == 3 and (img < 250).any()
 
 
 def test_report_boolean_plotly_toggle(tmp_path):
