@@ -1447,3 +1447,42 @@ def dedup_lines_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return dedup_lines_within_doc(multi).orderBy("doc_id")
+
+
+@register(
+    "asof_join_events",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, max(value) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT l.event_id, l.user_id, l.ts,
+           r.ts AS ts_asof,
+           round(r.click_value, 6) AS click_value_asof
+    FROM events l
+    ASOF LEFT JOIN clicks r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    ORDER BY l.event_id
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (temporal) join — operators/asof.py: for every event, the
+    most recent prior-or-simultaneous click of the same user. Spark has
+    no native ASOF JOIN; the union + ordered-window carry-forward
+    implementation (one shuffle, no range-join blow-up) is value-checked
+    against DuckDB's NATIVE ASOF LEFT JOIN, including tie semantics
+    (right events at the same timestamp match)."""
+    from .operators.asof import asof_join_backward
+
+    events = _t(spark, sf_dir, "events")
+    left = events.select("event_id", "user_id", "ts")
+    right = (
+        events.filter("event_type = 'click'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_join_backward(left, right, on="user_id")
+    return out.select(
+        "event_id", "user_id", "ts", "ts_asof",
+        F.round("click_value_asof", 6).alias("click_value_asof"),
+    ).orderBy("event_id")

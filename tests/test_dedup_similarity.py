@@ -605,3 +605,46 @@ def test_dedup_lines_within_doc(spark):
     assert out[1] == "a\nb\nc"
     assert out[2] == "loop"
     assert out[3] == "single"
+
+
+def test_asof_join_backward_semantics(spark):
+    import datetime as dt
+
+    from data_quality_automated_evaluator_spark.operators.asof import (
+        asof_join_backward,
+    )
+
+    T = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            (1, "a", T("2024-01-01 10:00:00")),
+            (2, "a", T("2024-01-01 12:00:00")),
+            (3, "a", T("2024-01-01 09:00:00")),  # before any right row
+            (4, "b", T("2024-01-01 10:00:00")),  # key with no right rows
+        ],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", T("2024-01-01 10:00:00"), 1.0),  # tie with left id=1
+            ("a", T("2024-01-01 11:00:00"), 2.0),
+        ],
+        "k string, ts timestamp, v double",
+    )
+    out = {r["id"]: r for r in asof_join_backward(left, right, on="k").collect()}
+    assert len(out) == 4  # every left row exactly once
+    assert out[1]["v_asof"] == 1.0      # tie matches (ts equal)
+    assert out[2]["v_asof"] == 2.0      # latest prior
+    assert out[3]["v_asof"] is None     # nothing at-or-before
+    assert out[4]["v_asof"] is None     # key absent on right
+    assert out[2]["ts_asof"] == T("2024-01-01 11:00:00")
+
+    # tolerance: the 11:00 right row is older than 12:00-30min -> dropped
+    tol = {
+        r["id"]: r
+        for r in asof_join_backward(
+            left, right, on="k", tolerance_seconds=1800
+        ).collect()
+    }
+    assert tol[1]["v_asof"] == 1.0      # 0s old, within tolerance
+    assert tol[2]["v_asof"] is None     # 1h old > 30min tolerance
