@@ -1486,3 +1486,113 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "ts_asof",
         F.round("click_value_asof", 6).alias("click_value_asof"),
     ).orderBy("event_id")
+
+
+@register(
+    "vocab_topk_documents",
+    oracle="""
+    SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+      FROM documents
+    )
+    WHERE w <> ''
+    GROUP BY w
+    ORDER BY n DESC, w
+    LIMIT 50
+    """,
+)
+def vocab_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 most frequent lowercase word tokens
+    (tokenizer-training prep). Plan: explode → two-phase hash count →
+    TakeOrderedAndProject — the partial top-k never materializes the
+    full sorted vocabulary on one node. Deterministic (n DESC, word)
+    ordering; DuckDB recomputes the identical tokenization."""
+    docs = _t(spark, sf_dir, "documents").select("text")
+    words = docs.select(
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("word")
+    ).filter("word <> ''")
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(50)
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       < INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_s
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event sessionization with Spark's native session_window (30-min
+    inactivity gap; merged-window semantics, strict boundary — a gap of
+    exactly 30 min starts a new session). The same operator runs
+    unchanged under Structured Streaming with a watermark; the DuckDB
+    oracle rebuilds sessions relationally (lag gap-mark + running sum)
+    and must agree on every session's bounds and size."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter("ts IS NOT NULL AND user_id IS NOT NULL")
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "calibrated_length_flags_documents",
+    oracle="""
+    WITH b AS (
+      SELECT source,
+             quantile_cont(n_chars, 0.01) AS lo,
+             quantile_cont(n_chars, 0.99) AS hi
+      FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+           round(b.lo, 6) AS lo, round(b.hi, 6) AS hi,
+           (d.n_chars < b.lo OR d.n_chars > b.hi) AS len_outlier
+    FROM documents d JOIN b USING (source)
+    ORDER BY d.doc_id
+    """,
+)
+def calibrated_length_flags_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-calibrated quality thresholds: per-source [p1, p99] length
+    bounds computed from the corpus itself (one tiny agg, broadcast back,
+    codegen'd comparison — no corpus shuffle), flagging outliers.
+    Exact interpolated percentiles match DuckDB quantile_cont; the
+    percentile_approx variant is the documented 10^12-row path."""
+    from .operators.calibrate import with_calibrated_flags
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    out = with_calibrated_flags(docs, "n_chars", "source")
+    return out.select(
+        "doc_id", "source", "n_chars",
+        F.round("lo", 6).alias("lo"), F.round("hi", 6).alias("hi"),
+        "len_outlier",
+    ).orderBy("doc_id")

@@ -648,3 +648,22 @@ def test_asof_join_backward_semantics(spark):
     }
     assert tol[1]["v_asof"] == 1.0      # 0s old, within tolerance
     assert tol[2]["v_asof"] is None     # 1h old > 30min tolerance
+
+
+def test_calibrated_flags(spark):
+    from pyspark.sql import functions as F
+
+    from data_quality_automated_evaluator_spark.operators.calibrate import (
+        with_calibrated_flags,
+    )
+
+    rows = [(i, "s" + str(i % 2), float(i)) for i in range(200)]
+    rows.append((900, "s0", 1e6))  # extreme outlier in stratum s0
+    df = spark.createDataFrame(rows, "doc_id long, source string, v double")
+    out = with_calibrated_flags(df, "v", "source", 0.01, 0.99)
+    flagged = {r["doc_id"] for r in out.filter("len_outlier").collect()}
+    assert 900 in flagged
+    assert len(flagged) < 12  # ~2% of 201 rows, not a mass flag
+    # approx path agrees on the extreme outlier and stays bounded
+    out_a = with_calibrated_flags(df, "v", "source", 0.01, 0.99, approx=True)
+    assert 900 in {r["doc_id"] for r in out_a.filter("len_outlier").collect()}
