@@ -131,3 +131,28 @@ def streaming_conversation_flags(
             "min_turn_idx", "max_turn_idx", "keep_turn_rate",
         )
     )
+
+
+def streaming_sessionize(
+    stream_df: DataFrame,
+    key: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows on a stream: per-key inactivity-gap sessions with
+    watermark-bounded state (a session's state is dropped once the
+    watermark passes its close — no unbounded key history). The exact
+    operator the batch ``sessionize_events`` query runs; session_window
+    merges across micro-batches, so the streaming answer equals the
+    batch answer once the source drains (pinned in
+    tests/test_multimodal_streaming.py)."""
+    return (
+        stream_df.withWatermark("ts", watermark)
+        .groupBy(key, F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(key, "session_start", "session_end", "n_events")
+    )

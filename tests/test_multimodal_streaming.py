@@ -210,3 +210,54 @@ def test_streaming_dedup_bounded_state(spark, tmp_path):
     # every (conv_id, turn_idx) exactly once despite redelivery
     assert len(got) == len(pdf)
     assert not got.duplicated(["conv_id", "turn_idx"]).any()
+
+
+def test_streaming_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    """session_window on a file stream (availableNow, complete mode)
+    must produce exactly the batch sessionization of the same input."""
+    from data_quality_automated_evaluator_spark.streaming.quality_stream import (
+        streaming_sessionize,
+    )
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        "ts IS NOT NULL AND user_id IS NOT NULL"
+    ).select("user_id", "ts")
+    # split into several files so the stream sees real micro-batches
+    src_dir = str(tmp_path / "events_stream")
+    src.repartition(3).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    # files arrive in arbitrary (non-time) order, so a short watermark
+    # would legitimately drop "late" micro-batches; parity needs a
+    # watermark wider than the data span (lateness policy is exercised
+    # separately by the interval-stats stream tests)
+    q = (
+        streaming_sessionize(stream, watermark="3650 days")
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql(
+        "SELECT * FROM sess_stream ORDER BY user_id, session_start"
+    ).collect()
+    expect = (
+        src.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in expect]
+    assert len(got) > 100
