@@ -1596,3 +1596,69 @@ def calibrated_length_flags_documents(spark: SparkSession, sf_dir: str) -> DataF
         F.round("lo", 6).alias("lo"), F.round("hi", 6).alias("hi"),
         "len_outlier",
     ).orderBy("doc_id")
+
+
+@register(
+    "pivot_event_types_daily",
+    oracle="""
+    SELECT date_trunc('day', ts) AS bucket_day,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def pivot_event_types_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native pivot: daily counts per event_type spread to columns (an
+    explicit value list keeps the schema deterministic and lets Catalyst
+    plan ONE aggregation pass — no per-category scan). DuckDB oracle via
+    FILTERed counts, hash-exact."""
+    ev = _t(spark, sf_dir, "events").filter("ts IS NOT NULL")
+    out = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("bucket_day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+    )
+    for c in ("click", "error", "purchase", "signup", "view"):
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)).cast("long"))
+    return out.orderBy("bucket_day")
+
+
+@register(
+    "unpivot_interval_stats",
+    oracle="""
+    WITH agg AS (
+      SELECT date_trunc('day', ts) AS bucket_day,
+             round(avg(value), 6) AS value_mean,
+             round(min(value), 6) AS value_min,
+             round(max(value), 6) AS value_max
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    )
+    SELECT bucket_day, stat, round(v, 6) AS v
+    FROM agg UNPIVOT (v FOR stat IN (value_mean, value_min, value_max))
+    ORDER BY bucket_day, stat
+    """,
+)
+def unpivot_interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native unpivot/melt: the wide per-interval stats frame reshaped to
+    (bucket, stat, value) long form — the layout metric stores and chart
+    pipelines consume. Spark `unpivot` vs DuckDB `UNPIVOT`, hash-exact."""
+    ev = _t(spark, sf_dir, "events").filter("ts IS NOT NULL")
+    wide = ev.groupBy(F.date_trunc("day", "ts").alias("bucket_day")).agg(
+        F.round(F.avg("value"), 6).alias("value_mean"),
+        F.round(F.min("value"), 6).alias("value_min"),
+        F.round(F.max("value"), 6).alias("value_max"),
+    )
+    return (
+        wide.unpivot(
+            "bucket_day",
+            ["value_mean", "value_min", "value_max"],
+            "stat",
+            "v",
+        )
+        .withColumn("v", F.round("v", 6))
+        .orderBy("bucket_day", "stat")
+    )
