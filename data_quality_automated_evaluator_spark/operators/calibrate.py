@@ -52,12 +52,21 @@ def with_calibrated_flags(
     approx: bool = False,
 ) -> DataFrame:
     """Input plus ``lo``/``hi`` bound columns and a boolean ``flag_col``
-    marking rows outside their stratum's calibrated band."""
+    marking rows outside their stratum's calibrated band. EVERY input
+    row survives: the bounds join is a left join (an inner join would
+    silently drop NULL-stratum rows — SQL NULL keys never compare
+    equal), and rows whose stratum or value can't be judged get
+    ``flag_col = false`` with NULL bounds."""
     bounds = calibrated_bounds(df, value_col, strata_col, lo_q, hi_q, approx)
-    return (
-        df.join(F.broadcast(bounds), strata_col)
+    flagged = (
+        df.join(F.broadcast(bounds), strata_col, "left")
         .withColumn(
             flag_col,
-            (F.col(value_col) < F.col("lo")) | (F.col(value_col) > F.col("hi")),
+            F.coalesce(
+                (F.col(value_col) < F.col("lo"))
+                | (F.col(value_col) > F.col("hi")),
+                F.lit(False),
+            ),
         )
     )
+    return flagged

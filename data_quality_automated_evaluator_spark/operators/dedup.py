@@ -113,6 +113,15 @@ def minhash_lsh_candidates(
     their signatures matches exactly. Collision probability for Jaccard s
     is 1-(1-s^r)^b — with 64/16×4 the curve knees near s≈0.5.
     """
+    # minhash_udf emits exactly 64 slots; slicing past that yields empty
+    # band arrays that hash identically for every doc (all-pairs blow-up)
+    if num_perm != 64:
+        raise ValueError(
+            "num_perm must be 64 (the width minhash_udf emits; see "
+            "functions/hashing.minhash_batch for other widths)"
+        )
+    if num_perm % bands != 0:
+        raise ValueError("bands must divide num_perm evenly")
     r = num_perm // bands
     sig = _spread(df.select(id_col, text_col)).select(
         F.col(id_col).alias("_id"), minhash_udf(F.col(text_col)).alias("_sig")

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["ExactDedupStore", "MinHashBandStore"]
@@ -153,6 +153,18 @@ class MinHashBandStore:
 
     def __init__(self, root: str, bucket_table: str | None = None,
                  n_buckets: int = 16, num_perm: int = 64, bands: int = 16):
+        # the precompiled minhash_udf emits exactly 64 signature slots;
+        # a mismatched num_perm would slice past the array (empty band
+        # arrays hash identically for every doc → all-pairs blow-up),
+        # and bands must tile the signature or trailing perms silently
+        # drop. Fail loudly instead.
+        if num_perm != 64:
+            raise ValueError(
+                "num_perm must be 64 (the width minhash_udf emits; see "
+                "functions/hashing.minhash_batch for other widths)"
+            )
+        if num_perm % bands != 0:
+            raise ValueError("bands must divide num_perm evenly")
         self.root = root
         self.bands_dir = os.path.join(root, "bands")
         self.bucket_table = bucket_table

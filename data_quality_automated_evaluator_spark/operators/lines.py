@@ -81,7 +81,16 @@ def dedup_lines_within_doc(
             "\n",
         ).alias(out_col)
     )
-    return rebuilt.select(F.col("_id").alias(id_col), out_col)
+    # one row per input doc even for NULL text (split(NULL) explodes to
+    # zero lines) — same restore-join contract as remove_boilerplate_lines
+    base = docs.select(F.col(id_col).alias("_id"))
+    return (
+        base.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(out_col, F.lit("")).alias(out_col),
+        )
+    )
 
 
 def remove_boilerplate_lines(
@@ -96,9 +105,17 @@ def remove_boilerplate_lines(
     one row per input doc with ``out_col`` (line order preserved; a doc
     whose every line is boilerplate yields an empty string). Lines
     shorter than ``min_line_chars`` are never treated as boilerplate."""
+    # one shared definition of the exploded frame, branched into the
+    # frequency aggregation and the keep filter. Spark still EXECUTES
+    # the map-only explode once per branch (no caching) — deliberately:
+    # persisting an exploded 100 TB corpus costs far more than
+    # recomputing a codegen'd split, and the frequency branch prunes to
+    # (id, line) while this branch carries (id, pos, line)
     lines = _lines(docs, text_col, id_col)
     boiler = (
-        line_frequencies(docs, text_col, id_col, min_line_chars)
+        lines.filter(F.length("line") >= min_line_chars)
+        .groupBy("line")
+        .agg(F.count_distinct("_id").alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
         .select(F.xxhash64("line").alias("_bh"))
     )

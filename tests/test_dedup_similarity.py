@@ -667,3 +667,29 @@ def test_calibrated_flags(spark):
     # approx path agrees on the extreme outlier and stays bounded
     out_a = with_calibrated_flags(df, "v", "source", 0.01, 0.99, approx=True)
     assert 900 in {r["doc_id"] for r in out_a.filter("len_outlier").collect()}
+
+
+def test_null_handling_lines_and_calibrate(spark):
+    """Regression pins: NULL-text docs survive line dedup (one row per
+    input doc) and NULL-stratum rows survive calibration (left join —
+    an inner join's NULL keys would silently drop them)."""
+    from data_quality_automated_evaluator_spark.operators.calibrate import (
+        with_calibrated_flags,
+    )
+    from data_quality_automated_evaluator_spark.operators.lines import (
+        dedup_lines_within_doc,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a\na"), (2, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["text_clean"] for r in dedup_lines_within_doc(df).collect()}
+    assert out == {1: "a", 2: ""}
+
+    cal = spark.createDataFrame(
+        [(1, "s0", 5.0), (2, None, 5.0), (3, "s0", 6.0)],
+        "doc_id long, source string, v double",
+    )
+    rows = {r["doc_id"]: r for r in with_calibrated_flags(cal, "v").collect()}
+    assert set(rows) == {1, 2, 3}          # nothing dropped
+    assert rows[2]["len_outlier"] is False  # unjudgeable -> not flagged
