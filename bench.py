@@ -325,6 +325,8 @@ def main() -> None:
             ),
             "n_turns": n_scale,
             "turns_per_sec": {str(k): round(v, 1) for k, v in tps.items()},
+            "north_rule_target": 0.8,
+            "north_rule_pair": "2_to_8",
             "scaling_efficiency_2_to_8": round(eff_2_8, 3),
             "scaling_efficiency_4_to_16": round(eff_4_16, 3),
             "scaling_efficiency_8_to_32": round(eff_8_32, 3),
