@@ -268,6 +268,7 @@ def main() -> None:
     spark.stop()
 
     scaling: dict = {}
+    scaling_detail: dict = {}
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1" and CPUS >= 8:
         import duckdb
 
@@ -279,30 +280,33 @@ def main() -> None:
         # identical VM weather (see _concurrent_pair_secs); 8 -> 32 is
         # measured sequentially and additionally absorbs this VM's
         # hardware ceiling, which the pure-CPU control quantifies.
+        #
+        # Efficiency is computed PER CONCURRENT PAIR — sec_small/(4*sec_big)
+        # from the SAME run — never by mixing best-of levels across runs
+        # (that would reintroduce the cross-minute weather the concurrent
+        # design eliminates). Two attempts per pair; headline = best pair,
+        # both attempts reported.
         tps: dict[int, float] = {}
-        # two attempts, best-of per level: concurrency equalizes weather
-        # WITHIN an attempt; a second attempt guards against one leg's
-        # CPU set being stolen for the whole first window.
-        sec2, sec8 = _concurrent_pair_secs(scale_path)
-        sec2b, sec8b = _concurrent_pair_secs(scale_path)
-        tps[2] = n_scale / min(sec2, sec2b)
-        tps[8] = n_scale / min(sec8, sec8b)
+        pairs_2_8 = [_concurrent_pair_secs(scale_path) for _ in range(2)]
+        pair_effs_2_8 = [s / (4.0 * b) for s, b in pairs_2_8]
+        tps[2] = n_scale / min(s for s, _ in pairs_2_8)
+        tps[8] = n_scale / min(b for _, b in pairs_2_8)
         # a second, independent N->4N pair at higher absolute parallelism
         # (4-core on cpus 0-3 vs 16-core on cpus 4-19, simultaneous) —
         # two pairs beat one pair + a sequential 32-way leg, because the
         # 32-way number is dominated by whatever the hypervisor does in
         # that particular minute (observed raw 8->32 anywhere in
         # 0.07-0.40 with a pure-CPU control ceiling of ~0.5)
-        sec4, sec16 = _concurrent_pair_secs(
-            scale_path, n_small=4, n_big=16, cpus_small="0-3",
-            cpus_big="4-19", runs_small=3, runs_big=10,
-        )
-        sec4b, sec16b = _concurrent_pair_secs(
-            scale_path, n_small=4, n_big=16, cpus_small="0-3",
-            cpus_big="4-19", runs_small=3, runs_big=10,
-        )
-        tps[4] = n_scale / min(sec4, sec4b)
-        tps[16] = n_scale / min(sec16, sec16b)
+        pairs_4_16 = [
+            _concurrent_pair_secs(
+                scale_path, n_small=4, n_big=16, cpus_small="0-3",
+                cpus_big="4-19", runs_small=3, runs_big=10,
+            )
+            for _ in range(2)
+        ]
+        pair_effs_4_16 = [s / (4.0 * b) for s, b in pairs_4_16]
+        tps[4] = n_scale / min(s for s, _ in pairs_4_16)
+        tps[16] = n_scale / min(b for _, b in pairs_4_16)
         sec32 = _pinned_steady_sec(min(32, CPUS), scale_path)
         tps[min(32, CPUS)] = n_scale / sec32
         hw32 = _hw_parallel_factor(min(32, CPUS))
@@ -312,33 +316,44 @@ def main() -> None:
         hw_eff_2_8 = hw_b_28 / (4.0 * hw_s_28)
         hw_s_416, hw_b_416 = _hw_pair_control(4, "0-3", 16, "4-19")
         hw_eff_4_16 = hw_b_416 / (4.0 * hw_s_416)
-        eff_2_8 = tps[8] / (4.0 * tps[2])
-        eff_4_16 = tps[16] / (4.0 * tps[4])
+        eff_2_8 = max(pair_effs_2_8)
+        eff_4_16 = max(pair_effs_4_16)
         eff_8_32 = tps[min(32, CPUS)] / (4.0 * tps[8])
+        # compact block for stdout (the driver keeps only a bounded tail
+        # of stdout — the printed JSON line must stay well under 2000
+        # chars); the full-prose block goes to the sidecar file
         scaling = {
+            "target": 0.8,
+            "pair": "2_to_8",
+            "eff_2_8": round(eff_2_8, 3),
+            "eff_4_16": round(eff_4_16, 3),
+            "eff_8_32": round(eff_8_32, 3),
+            "hw_norm_2_8": round(min(eff_2_8 / hw_eff_2_8, 1.0), 3),
+            "hw_norm_4_16": round(min(eff_4_16 / hw_eff_4_16, 1.0), 3),
+        }
+        scaling_detail = {
+            **scaling,
             "method": (
                 "CPU-pinned warm steady-state, full pipeline, noop sink, "
                 "same input at every level; each N->4N pair (2|8 on cpus "
                 "0-1|2-9, then 4|16 on cpus 0-3|4-19) runs simultaneously "
                 "on disjoint sets so the ratio is weather-free; "
-                "best-of-runs per level"
+                "efficiency computed per concurrent pair (same run), "
+                "headline = best of 2 pair attempts"
             ),
             "n_turns": n_scale,
             "turns_per_sec": {str(k): round(v, 1) for k, v in tps.items()},
-            "north_rule_target": 0.8,
-            "north_rule_pair": "2_to_8",
-            "scaling_efficiency_2_to_8": round(eff_2_8, 3),
-            "scaling_efficiency_4_to_16": round(eff_4_16, 3),
-            "scaling_efficiency_8_to_32": round(eff_8_32, 3),
+            "pair_secs_2_8": [[round(s, 2), round(b, 2)] for s, b in pairs_2_8],
+            "pair_secs_4_16": [[round(s, 2), round(b, 2)] for s, b in pairs_4_16],
+            "pair_effs_2_8": [round(x, 3) for x in pair_effs_2_8],
+            "pair_effs_4_16": [round(x, 3) for x in pair_effs_4_16],
             "hw_control_efficiency_2_to_8": round(hw_eff_2_8, 3),
             "hw_control_efficiency_4_to_16": round(hw_eff_4_16, 3),
-            "hw_normalized_2_to_8": round(min(eff_2_8 / hw_eff_2_8, 1.0), 3),
-            "hw_normalized_4_to_16": round(min(eff_4_16 / hw_eff_4_16, 1.0), 3),
             "hw_parallel_factor_32way": round(hw32, 3),
             "note": (
                 "hw_control_* is a matched pure-CPU burn pair on the SAME "
                 "disjoint CPU sets run the same way — the VM's silicon/"
-                "steal ceiling for that shape; hw_normalized_* = pipeline "
+                "steal ceiling for that shape; hw_norm_* = pipeline "
                 "efficiency / hardware efficiency (capped at 1), i.e. the "
                 "coordination overhead the pipeline itself adds, which is "
                 "what transfers to a real cluster where 4N executors bring "
@@ -357,7 +372,24 @@ def main() -> None:
             "scaling": scaling,
         }
     )
-    print(json.dumps(result))
+    # full-detail sidecar (committed; BENCH.md points here) — everything,
+    # including the prose method/note blocks trimmed from stdout
+    full = dict(result)
+    full["scaling"] = scaling_detail
+    with open(os.path.join(_HERE, "BENCH_full.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    # stdout contract: EXACTLY ONE compact JSON line, ≤ ~1800 chars —
+    # the driver records only the last 2000 chars of stdout and parses
+    # the last line within them (r02's 2.4 KB line got its head cut).
+    # Degrade gracefully rather than ever exceed the budget.
+    line = json.dumps(result, separators=(",", ":"))
+    if len(line) > 1800:
+        result["queries"] = {k: round(v, 1) for k, v in queries_sec.items()}
+        line = json.dumps(result, separators=(",", ":"))
+    if len(line) > 1800:
+        result["queries"] = {"see": "BENCH_full.json"}
+        line = json.dumps(result, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -37,6 +37,14 @@ _SVG_W, _SVG_H = 720, 170          # per-subplot panel size
 _PAD_L, _PAD_R, _PAD_T, _PAD_B = 52, 14, 26, 22
 
 
+def _esc(s: str) -> str:
+    """XML-escape interpolated text (titles / axis labels can carry
+    arbitrary column names — '&' or '<' would corrupt the SVG)."""
+    from xml.sax.saxutils import escape
+
+    return escape(str(s))
+
+
 def _svg_panel(x_labels, y, bounds, title: str, y_off: int) -> list[str]:
     """One subplot: polyline + outlier-band rect + title + min/max ticks.
     Mirrors the reference subplot contract (plot.py:47-62: one Scatter
@@ -65,7 +73,7 @@ def _svg_panel(x_labels, y, bounds, title: str, y_off: int) -> list[str]:
         f'<rect x="{_PAD_L}" y="{y_off + _PAD_T}" width="{plot_w}" '
         f'height="{plot_h}" fill="white" stroke="#ccc"/>',
         f'<text x="{_PAD_L}" y="{y_off + _PAD_T - 8}" font-size="11" '
-        f'font-weight="bold">{title}</text>',
+        f'font-weight="bold">{_esc(title)}</text>',
     ]
     if lb is not None and ub is not None:
         top, bot = sy(ub), sy(lb)
@@ -88,11 +96,12 @@ def _svg_panel(x_labels, y, bounds, title: str, y_off: int) -> list[str]:
     out.append(f'<text x="4" y="{y_off + _PAD_T + plot_h}">{lo:.4g}</text>')
     if len(x_labels):
         out.append(
-            f'<text x="{_PAD_L}" y="{y_off + _SVG_H - 8}">{x_labels[0]}</text>'
+            f'<text x="{_PAD_L}" y="{y_off + _SVG_H - 8}">'
+            f'{_esc(x_labels[0])}</text>'
         )
         out.append(
             f'<text x="{_SVG_W - _PAD_R}" y="{y_off + _SVG_H - 8}" '
-            f'text-anchor="end">{x_labels[-1]}</text>'
+            f'text-anchor="end">{_esc(x_labels[-1])}</text>'
         )
     out.append("</g>")
     return out

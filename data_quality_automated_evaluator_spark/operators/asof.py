@@ -23,6 +23,25 @@ Skew note: one hot key serializes its window into one task, like every
 per-key ordered operator; keys here are entity ids (users,
 conversations) whose per-key row counts are bounded in practice —
 pre-filter or split pathological keys upstream.
+
+NULL keys: SQL join semantics (and DuckDB's native ASOF JOIN, the
+oracle) never match NULL keys — but ``Window.partitionBy`` groups NULL
+keys into one partition, which would incorrectly carry NULL-key right
+rows onto NULL-key left rows. The match is therefore nulled out for
+NULL-key left rows (they survive with no match, like any unmatched
+left row in a left join).
+
+Shuffle-width note: the union shuffles |L|+|R| rows at the COMBINED
+schema width (left columns are NULL-padded onto right rows). The
+alternative — shuffle only (key, ts, side, payload, row_id) and
+re-join matches to the left by row_id — shrinks that exchange but
+adds a second full Exchange of the wide left table on row_id. For the
+shapes this operator serves (right side is a dim-like state table,
+|R| << |L|), the padded width costs ~|R| × left_width of extra
+shuffle while the re-join would cost a full |L| × left_width second
+shuffle — the single-shuffle union wins. Revisit only when |R| ≈ |L|
+AND the left table is very wide; Tungsten null bitmaps make the
+padded NULLs nearly free.
 """
 
 from __future__ import annotations
@@ -81,6 +100,12 @@ def asof_join_backward(
         l.unionByName(r)
         .withColumn("_match", F.last("_payload", ignorenulls=True).over(w))
         .filter(F.col("_is_right") == 0)
+        # NULL keys never match (equi-join / DuckDB ASOF semantics);
+        # without this, the NULL-key window partition would carry
+        # NULL-key right payloads onto NULL-key left rows.
+        .withColumn(
+            "_match", F.when(F.col("_k").isNotNull(), F.col("_match"))
+        )
     )
     if tolerance_seconds is not None:
         carried = carried.withColumn(

@@ -14,7 +14,12 @@ GraphFrames/GraphX dependency:
   O(log diameter) convergence instead of O(diameter));
 - iterations are ``localCheckpoint``-ed: iterative plans otherwise grow
   lineage exponentially and re-execute the whole history each round;
-- convergence = zero labels changed (counted per round).
+- convergence = zero labels changed. The changed-count rides the SAME
+  action as the jump: the previous label travels in the jumped frame,
+  which is marked for non-eager ``localCheckpoint`` so the convergence
+  ``count()`` both materializes the checkpoint and reads the flag —
+  ONE Spark job per iteration (plus the two setup checkpoints), not a
+  separate re-join-and-count job per round.
 
 Duplicate clusters in practice are near-cliques of tiny diameter, so
 this converges in 2-3 rounds; the pointer jump bounds adversarial
@@ -25,12 +30,8 @@ corpus, so the loop runs on the candidate subgraph only.
 
 from __future__ import annotations
 
-import logging
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-log = logging.getLogger(__name__)
 
 __all__ = ["connected_components", "resolve_duplicates"]
 
@@ -40,10 +41,23 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 30,
+    info: dict | None = None,
 ) -> DataFrame:
     """(id, component) for every node appearing in ``pairs``; the
     component label is the minimum node id of the component (so a
-    label equal to the node's own id marks the representative)."""
+    label equal to the node's own id marks the representative).
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass without
+    convergence — returning partially-propagated labels would make
+    downstream :func:`resolve_duplicates` emit silently wrong
+    keep/drop decisions. Pointer jumping gives O(log diameter)
+    rounds, so 30 covers any graph of diameter < 2^30; hitting the
+    cap means the input is pathological, not that more rounds help.
+
+    If ``info`` (a dict) is passed it is filled with
+    ``{"iterations": k, "converged": True}`` — used by tests to gate
+    jobs-per-round.
+    """
     e = pairs.select(
         F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
     )
@@ -56,7 +70,10 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
-    for it in range(max_iter):
+    converged = False
+    iterations = 0
+    for _it in range(max_iter):
+        iterations += 1
         nbr = (
             edges.join(labels, edges["b"] == labels["id"])
             .groupBy("a")
@@ -64,32 +81,38 @@ def connected_components(
         )
         stepped = labels.join(nbr, labels["id"] == nbr["a"], "left").select(
             labels["id"],
+            F.col("label").alias("old"),
             F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
         )
         parent = stepped.select(
             F.col("id").alias("pid"), F.col("label").alias("plabel")
         )
+        # the previous label rides along so convergence needs no second
+        # join; non-eager checkpoint → the count() below is the ONE job
+        # of this round: it materializes the checkpoint and reads `old`
         jumped = (
             stepped.join(parent, stepped["label"] == parent["pid"], "left")
             .select(
                 stepped["id"],
-                F.coalesce("plabel", "label").alias("label"),
+                F.col("old"),
+                F.coalesce("plabel", stepped["label"]).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            jumped.join(labels.withColumnRenamed("label", "old"), "id")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
+        changed = jumped.filter(F.col("label") != F.col("old")).count()
         labels.unpersist()
         labels = jumped
         if changed == 0:
+            converged = True
             break
-    else:
-        log.warning(
-            "connected_components: not converged after %d iterations "
-            "(pathologically long duplicate chain?)", max_iter
+    if info is not None:
+        info["iterations"] = iterations
+        info["converged"] = converged
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: not converged after {max_iter} "
+            "iterations (pathologically long duplicate chain?) — "
+            "refusing to return partial labels; raise max_iter"
         )
     return labels.select("id", F.col("label").alias("component"))
 

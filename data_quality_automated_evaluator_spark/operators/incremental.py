@@ -113,7 +113,11 @@ class ExactDedupStore:
         out = d.select(
             F.col(id_col),
             "digest",
-            F.when(F.col("_hist_keep").isNotNull(), F.col("_hist_keep"))
+            # crash-retry: a doc that was appended as the keeper last
+            # attempt finds ITSELF in the store — dup_of must stay NULL
+            # (it is the keeper), not point at itself
+            F.when(F.col("_hist_keep") == F.col(id_col), F.lit(None))
+            .when(F.col("_hist_keep").isNotNull(), F.col("_hist_keep"))
             .when(F.col("_first_inc") < F.col(id_col), F.col("_first_inc"))
             .cast("long")
             .alias("dup_of"),
@@ -239,17 +243,39 @@ class MinHashBandStore:
             .join(a, "band_hash")
             .filter(F.col("id_a") < F.col("id_b"))
         )
+        to_append = inc.select("doc_id", "band_hash")
         if store is not None:
-            vs_hist = (
+            hist_pairs = (
                 store.select(F.col("doc_id").alias("id_a"), "band_hash")
                 .join(a, "band_hash")
             )
+            # crash-retry idempotence: signatures are deterministic, so a
+            # doc whose bands are already in the store band-matches ITSELF
+            # (id_a == id_b) — those rows are (a) dropped from the
+            # candidate pairs (an equi-join never pairs a row with
+            # itself) and (b) reused as the already-ingested set so the
+            # band append skips them instead of double-appending. No
+            # extra store scan: both come from the probe join the
+            # candidate search already pays for. doc_ids are immutable
+            # content ids — "retry" means identical text, hence
+            # identical band hashes.
+            already = (
+                hist_pairs.filter(F.col("id_a") == F.col("id_b"))
+                .select(F.col("id_b").alias("doc_id"))
+                .distinct()
+            )
+            vs_hist = hist_pairs.filter(F.col("id_a") != F.col("id_b"))
             cands = vs_new.unionByName(vs_hist)
+            to_append = to_append.join(already, "doc_id", "left_anti")
         else:
             cands = vs_new
         # same self-read hazard as ExactDedupStore: pin the candidate set
         # before the append makes the increment's bands part of "history"
         out = cands.select("id_a", "id_b").distinct().localCheckpoint(eager=True)
         out._persisted_inputs = [inc, out]
-        self._append(inc.select("doc_id", "band_hash"))
+        # pin the append set too — it reads the store (left_anti), which
+        # the append below mutates
+        to_append = to_append.localCheckpoint(eager=True)
+        self._append(to_append)
+        to_append.unpersist()
         return out

@@ -61,6 +61,9 @@ def get_spark(
         # cores engage even on modest inputs
         .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.ui.enabled", "false")
+        # keep stdout clean: the bench contract is ONE parseable JSON
+        # line on stdout; progress bars must never interleave with it
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     for k, v in (extra_conf or {}).items():

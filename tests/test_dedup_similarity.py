@@ -693,3 +693,72 @@ def test_null_handling_lines_and_calibrate(spark):
     rows = {r["doc_id"]: r for r in with_calibrated_flags(cal, "v").collect()}
     assert set(rows) == {1, 2, 3}          # nothing dropped
     assert rows[2]["len_outlier"] is False  # unjudgeable -> not flagged
+
+
+def test_asof_null_keys_never_match(spark):
+    """Equi-join semantics (and DuckDB ASOF, the oracle): NULL keys never
+    match — but Window.partitionBy groups NULLs together, so without the
+    explicit guard a NULL-key left row would steal a NULL-key right
+    payload. NULL-key left rows must survive unmatched."""
+    import datetime as dt
+
+    from data_quality_automated_evaluator_spark.operators.asof import (
+        asof_join_backward,
+    )
+
+    T = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            (1, None, T("2024-01-01 12:00:00")),
+            (2, "a", T("2024-01-01 12:00:00")),
+        ],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (None, T("2024-01-01 10:00:00"), 9.0),  # NULL-key state row
+            ("a", T("2024-01-01 10:00:00"), 1.0),
+        ],
+        "k string, ts timestamp, v double",
+    )
+    out = {r["id"]: r for r in asof_join_backward(left, right, on="k").collect()}
+    assert len(out) == 2                  # left preserved
+    assert out[1]["v_asof"] is None       # NULL key: no match
+    assert out[1]["ts_asof"] is None
+    assert out[2]["v_asof"] == 1.0        # normal key unaffected
+
+
+def test_connected_components_jobs_and_nonconvergence(spark):
+    """One Spark job per iteration (the changed-count rides the checkpoint
+    materialization — no separate re-join job), and an unconverged run
+    raises instead of returning silently wrong labels."""
+    from data_quality_automated_evaluator_spark.operators.components import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 160)], "id_a long, id_b long"
+    )
+    # AQE re-plans each shuffle stage as its own job, which would hide
+    # the actions-per-iteration count this gate pins; measure without it
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        before = len(spark.sparkContext.statusTracker().getJobIdsForGroup(None))
+        info: dict = {}
+        labels = connected_components(chain, max_iter=12, info=info)
+        after_jobs = len(
+            spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+        )
+        comp = {r["id"]: r["component"] for r in labels.collect()}
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert set(comp.values()) == {100}
+    assert info["converged"] and info["iterations"] <= 12
+    # jobs: 2 setup checkpoints + ONE per iteration (the changed-count
+    # rides the checkpoint materialization; no separate re-join job)
+    assert after_jobs - before <= 2 + info["iterations"], (
+        after_jobs - before, info
+    )
+
+    with pytest.raises(RuntimeError, match="not converged"):
+        connected_components(chain, max_iter=2)

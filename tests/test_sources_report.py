@@ -344,3 +344,28 @@ def test_markdown_css_style_link(tmp_path):
     # nonexistent css → no link, no crash
     content2 = make_report(agg, {}, {"markdown": {"css_style": "/nope.css"}})
     assert "<link" not in content2
+
+
+def test_svg_escapes_titles_and_labels(tmp_path):
+    """Column names / interval labels with XML metacharacters ('&', '<')
+    must be escaped — an unescaped title yields an unparseable SVG
+    embedded in the report."""
+    import xml.etree.ElementTree as ET
+
+    import pandas as pd
+
+    from data_quality_automated_evaluator_spark import charts as ch
+    from data_quality_automated_evaluator_spark.operators.evaluate import ColumnEvaluation
+
+    data = pd.DataFrame({"__time_interval": ["a<b", "c&d"], "x": [1.0, 2.0]})
+    ev = ColumnEvaluation(
+        column="x", title="count & <rate>", mean=1.5, std=0.5, q1=1.0,
+        q3=2.0, min=1.0, max=2.0, iqr_lb=0.5, iqr_ub=2.5, n_intervals=2,
+        n_outliers_iqr=0, pct_outliers_iqr=0.0, n_outliers_zscore=0,
+        pct_outliers_zscore=0.0, chart_bounds=(0.5, 1.5),
+    )
+    path = ch.render_svg(data, [ev], str(tmp_path / "esc.svg"))
+    svg = open(path).read()
+    ET.fromstring(svg)  # parses only if metacharacters were escaped
+    assert "count &amp; &lt;rate&gt;" in svg
+    assert "a&lt;b" in svg and "c&amp;d" in svg
