@@ -11,6 +11,7 @@ value-hash compare is stable across engines:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -18,6 +19,16 @@ from pyspark.sql import functions as F
 
 from .operators.dedup import fingerprint_oracle_sql as _fp_oracle
 from .operators.dedup import simhash_md5_oracle_sql as _simhash_oracle
+from .pipeline.oracle_sql import keep_flags_oracle_sql
+
+# committed deterministic fixture (seed=42, 400 convs — same generator as
+# the flagship query) so the DuckDB side of the keep-flags oracle can read
+# the identical rows the Spark side reads
+FIXTURE_TRANSCRIPTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fixtures",
+    "transcripts_oracle.parquet",
+)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -71,6 +82,29 @@ def quality_pipeline_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pdf = generate_transcripts(n_convs=400, seed=42)
     df = spark.createDataFrame(pdf)
     return labels_frame(run_quality_pipeline(df)).orderBy("conv_id", "turn_idx")
+
+
+@register(
+    "quality_keep_flags_transcripts",
+    oracle=keep_flags_oracle_sql(FIXTURE_TRANSCRIPTS),
+)
+def quality_keep_flags_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline's FULL keep conjunction, value-checked: the
+    DuckDB oracle re-implements every rule in SQL — including the
+    char-bigram perplexity LM, trained in SQL from the same embedded
+    corpus (see pipeline/oracle_sql.py) — over the committed
+    deterministic transcripts fixture. This upgrades the pipeline from a
+    rows-only driver check to a per-turn per-flag value hash."""
+    from .pipeline.quality import run_quality_pipeline
+    from .pipeline.rules import RULE_NAMES
+    from .testdata import write_transcripts_parquet
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    df = spark.read.parquet(FIXTURE_TRANSCRIPTS)
+    res = run_quality_pipeline(df)
+    return res.select("conv_id", "turn_idx", "keep", *RULE_NAMES).orderBy(
+        "conv_id", "turn_idx"
+    )
 
 
 # ---------------------------------------------------------------------------

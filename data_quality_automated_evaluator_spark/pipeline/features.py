@@ -86,22 +86,32 @@ def salted_conversation_stats(
     n_convs × S rows, never raw turns. Use this (not a direct
     groupBy(conv_id)) whenever conversation cardinality is skewed.
 
-    Returns one row per conv_id: n_turns, n_roles, first_ts, last_ts,
-    total_chars.
+    Returns one row per conv_id: n_turns, n_roles (exact), first_ts,
+    last_ts, total_chars.
+
+    ``n_roles`` is EXACT despite the salting: roles are a tiny enum, so
+    phase 1 collects the per-(conv, salt) distinct-role SET (bounded by
+    |enum|, not by turns) and phase 2 merges ≤ S bounded sets per
+    conversation — unlike a per-bucket ``approx_count_distinct`` whose
+    ``max`` across buckets is only a lower bound (roles split across
+    salt buckets are never combined). The set-merge stays O(S·|enum|)
+    per conversation regardless of conversation size.
     """
     salted = df.withColumn(
         "_salt", F.pmod(F.hash(F.col("turn_idx")), F.lit(salt_buckets))
     )
     partial = salted.groupBy("conv_id", "_salt").agg(
         F.count(F.lit(1)).alias("_n"),
-        F.approx_count_distinct("role").alias("_nr"),
+        F.collect_set("role").alias("_roles"),
         F.min("ts").alias("_min_ts"),
         F.max("ts").alias("_max_ts"),
         F.sum(F.length("text").cast("long")).alias("_chars"),
     )
     return partial.groupBy("conv_id").agg(
         F.sum("_n").cast("int").alias("n_turns"),
-        F.max("_nr").cast("int").alias("n_roles_approx"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("_roles"))))
+        .cast("int")
+        .alias("n_roles"),
         F.min("_min_ts").alias("first_ts"),
         F.max("_max_ts").alias("last_ts"),
         F.sum("_chars").alias("total_chars"),

@@ -89,3 +89,25 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert len(df.columns) > 3
+
+
+def test_transcripts_fixture_matches_generator(tmp_path):
+    """The committed fixtures/transcripts_oracle.parquet must equal the
+    deterministic generator's output — the keep-flags oracle assumes the
+    Spark side and the DuckDB side read identical rows, and a silently
+    drifted fixture would turn that value check into noise."""
+    import pandas as pd
+
+    from data_quality_automated_evaluator_spark.entry_queries import (
+        FIXTURE_TRANSCRIPTS,
+    )
+    from data_quality_automated_evaluator_spark.testdata import (
+        write_transcripts_parquet,
+    )
+
+    fresh = write_transcripts_parquet(
+        str(tmp_path / "t.parquet"), n_convs=400, seed=42
+    )
+    a = pd.read_parquet(FIXTURE_TRANSCRIPTS)
+    b = pd.read_parquet(fresh)
+    pd.testing.assert_frame_equal(a, b)

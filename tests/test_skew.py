@@ -54,6 +54,12 @@ def test_salted_stats_exact_under_skew(spark, skewed):
     # every conversation exact, not just the hot one
     exp_n = pdf.groupby("conv_id").size()
     assert (got["n_turns"].sort_index() == exp_n.sort_index()).all()
+    # n_roles is EXACT (set-merge across salt buckets), not a per-bucket
+    # lower bound: the hot conv alternates user/assistant → exactly 2,
+    # and every conversation matches pandas nunique
+    assert got.loc["conv_hot", "n_roles"] == 2
+    exp_roles = pdf.groupby("conv_id")["role"].nunique()
+    assert (got["n_roles"].sort_index() == exp_roles.sort_index()).all()
 
 
 def test_pipeline_labels_exact_under_skew(spark, skewed):
