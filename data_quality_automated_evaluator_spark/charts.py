@@ -186,17 +186,13 @@ def _draw_line(canvas, x0, y0, x1, y1, color) -> None:
     canvas[ys, xs] = color
 
 
-def render_png(
-    data: pd.DataFrame, evaluations: list[ColumnEvaluation], path: str
-) -> str:
-    """Dependency-free PNG chart grid via the stdlib codec
-    (functions/png.py): per-evaluation panel with frame, shaded outlier
-    band, series polyline and numeric min/max tick labels. Panel titles
-    (arbitrary text) live in the SVG/markdown — the procedural font
-    covers numerals only, honestly."""
+def _render_canvas(data: pd.DataFrame, evaluations: list[ColumnEvaluation]):
+    """Rasterize the chart grid to an HxWx3 uint8 canvas (shared by the
+    PNG and JPEG exporters): per-evaluation panel with frame, shaded
+    outlier band, series polyline and numeric min/max tick labels.
+    Panel titles (arbitrary text) live in the SVG/markdown — the
+    procedural font covers numerals only, honestly."""
     import numpy as np
-
-    from .functions.png import encode_png
 
     n = max(len(evaluations), 1)
     H, W = _SVG_H * n, _SVG_W
@@ -248,8 +244,31 @@ def render_png(
         # numeric min/max tick labels
         _blit_text(canvas, top - 2, 4, f"{hi:.4g}")
         _blit_text(canvas, top + plot_h - 4, 4, f"{lo:.4g}")
+    return canvas
+
+
+def render_png(
+    data: pd.DataFrame, evaluations: list[ColumnEvaluation], path: str
+) -> str:
+    """Dependency-free PNG chart export via the stdlib codec
+    (functions/png.py) over the shared rasterizer."""
+    from .functions.png import encode_png
+
     with open(path, "wb") as fh:
-        fh.write(encode_png(canvas))
+        fh.write(encode_png(_render_canvas(data, evaluations)))
+    return path
+
+
+def render_jpeg(
+    data: pd.DataFrame, evaluations: list[ColumnEvaluation], path: str
+) -> str:
+    """JPEG chart export (reference plot.py:67-71 format parity) via the
+    baseline encoder in functions/jpeg.py over the shared rasterizer;
+    4:4:4 at quality 92 keeps the 1-px chart lines crisp."""
+    from .functions.jpeg import encode_jpeg
+
+    with open(path, "wb") as fh:
+        fh.write(encode_jpeg(_render_canvas(data, evaluations), quality=92))
     return path
 
 
@@ -262,13 +281,18 @@ def make_charts(
 ) -> str:
     """Render charts for one column group; returns the artifact path.
 
-    ``fmt``: "png" (matplotlib), "svg" (stdlib), or "json" (data only);
-    default picks png when matplotlib is available, else svg.
+    ``fmt``: "png" (matplotlib, stdlib fallback), "jpeg" (stdlib
+    baseline encoder), "svg" (stdlib), or "json" (data only); default
+    picks png when matplotlib is available, else svg.
     """
     os.makedirs(out_dir, exist_ok=True)
     x = data[TIME_INTERVAL_COL]
     if fmt is None:
         fmt = "png" if HAVE_MPL else "svg"
+    if fmt in ("jpeg", "jpg"):
+        return render_jpeg(
+            data, evaluations, os.path.join(out_dir, f"{group_name}.jpeg")
+        )
     if fmt == "png" and not HAVE_MPL:
         # real PNG without matplotlib: the stdlib rasterizer (series +
         # outlier band + numeric ticks; titles stay in the markdown/SVG)

@@ -3,12 +3,15 @@ columns with typed metadata.
 
 The Spark-side machinery is real and tested — schemas, Arrow batch
 shapes, ``mapInPandas`` signatures, partition sizing. Codec depth
-varies by format, honestly marked: WAV metadata (full RIFF chunk walk)
-and PNG decode/resize/encode (``functions/png.py``, stdlib zlib +
-numpy, all five scanline filters) are REAL; JPEG/GIF are header-only
-parses; ``extract_features``/``sample_frames`` remain deterministic
-fakes behind clearly-marked seams (no DCT/video codecs in this
-container). Swapping in Pillow / torchaudio / pyav changes ONE
+varies by format, honestly marked: WAV metadata (full RIFF chunk walk),
+PNG decode/resize/encode (``functions/png.py``, stdlib zlib + numpy,
+all five scanline filters) and baseline-sequential JPEG decode/encode
+(``functions/jpeg.py``: Huffman entropy decode, dequant, numpy IDCT,
+chroma upsampling, 4:4:4/4:2:0 encode, restart intervals) are REAL —
+resize and pixel features run on actual pixels for both dominant web
+image formats. GIF remains a header-only parse, ``sample_frames`` a
+deterministic fake behind a clearly-marked seam (no video codecs in
+this container). Swapping in Pillow / torchaudio / pyav changes ONE
 function body each; the distributed plumbing stays identical.
 
 Scale shape: binary payloads never shuffle — all multimodal transforms
@@ -166,18 +169,10 @@ def make_wav_bytes(seconds: float = 1.0, rate: int = 16000, channels: int = 1,
 FEATURE_DIM = 16
 
 
-def _png_pixel_features(content: bytes) -> list[float] | None:
-    """REAL 16-float feature vector from decoded PNG pixels: per-channel
-    mean/std (RGBA-padded) + an 8-bin luminance histogram. None when the
-    content is not a decodable PNG."""
-    from ..functions.png import PngFormatError, decode_png
-
-    try:
-        img = decode_png(content)
-    except PngFormatError:
-        return None
-    except Exception:
-        return None
+def _features_from_pixels(img: np.ndarray) -> list[float]:
+    """16-float feature vector from a decoded HxWxC pixel array:
+    per-channel mean/std (padded to 4 channels) + an 8-bin luminance
+    histogram."""
     f = img.reshape(-1, img.shape[2]).astype(np.float64) / 255.0
     means = f.mean(axis=0)
     stds = f.std(axis=0)
@@ -191,12 +186,39 @@ def _png_pixel_features(content: bytes) -> list[float] | None:
     return out.tolist()
 
 
+def _decode_pixels(content: bytes) -> np.ndarray | None:
+    """Decode PNG or baseline JPEG bytes to pixels; None if neither."""
+    from ..functions.jpeg import decode_jpeg
+    from ..functions.png import decode_png
+
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        try:
+            return decode_png(content)
+        except Exception:
+            return None
+    if content[:2] == b"\xff\xd8":
+        try:
+            return decode_jpeg(content)
+        except Exception:
+            return None
+    return None
+
+
+def _png_pixel_features(content: bytes) -> list[float] | None:
+    """REAL 16-float feature vector from decoded PNG or JPEG pixels;
+    None when the content is not decodable by the stdlib codecs."""
+    img = _decode_pixels(content)
+    if img is None:
+        return None
+    return _features_from_pixels(img)
+
+
 def extract_features(df: DataFrame, content_col: str = "content", id_col: str = "media_id") -> DataFrame:
-    """Feature extraction, map-only. REAL for decodable PNGs (per-channel
-    mean/std + luminance histogram from actual pixels); every other
-    format falls back to the deterministic digest-derived fake — the
-    honest seam for a vision/audio encoder (model weights would be
-    broadcast; batches sized by Arrow limits)."""
+    """Feature extraction, map-only. REAL for decodable PNGs and baseline
+    JPEGs (per-channel mean/std + luminance histogram from actual
+    pixels); every other format falls back to the deterministic
+    digest-derived fake — the honest seam for a vision/audio encoder
+    (model weights would be broadcast; batches sized by Arrow limits)."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -221,12 +243,19 @@ def resize_image(df: DataFrame, width: int, height: int,
                  content_col: str = "content", id_col: str = "media_id") -> DataFrame:
     """Image resize, map-only. REAL for PNG (pure-stdlib codec in
     ``functions/png.py``: zlib inflate, all five scanline unfilters,
-    nearest-neighbor resample, re-encode); other formats yield a NULL
-    content with the reason in ``error`` — a malformed or unsupported
-    file must never kill the task (quality-evaluator contract), and a
-    codec library (Pillow) widens format support by replacing one
-    function body."""
+    nearest-neighbor resample, re-encode) AND baseline JPEG
+    (``functions/jpeg.py``: full entropy decode → resample → re-encode,
+    format preserved); other formats yield a NULL content with the
+    reason in ``error`` — a malformed or unsupported file must never
+    kill the task (quality-evaluator contract), and a codec library
+    (Pillow) widens format support by replacing one function body."""
+    from ..functions.jpeg import JpegFormatError, resize_jpeg
     from ..functions.png import PngFormatError, resize_png
+
+    def _resize_one(c: bytes) -> bytes:
+        if c[:2] == b"\xff\xd8":
+            return resize_jpeg(c, width, height)
+        return resize_png(c, width, height)
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -238,9 +267,9 @@ def resize_image(df: DataFrame, width: int, height: int,
                     errors.append("null content")
                     continue
                 try:
-                    out_bytes.append(resize_png(bytes(c), width, height))
+                    out_bytes.append(_resize_one(bytes(c)))
                     errors.append(None)
-                except PngFormatError as ex:
+                except (PngFormatError, JpegFormatError) as ex:
                     out_bytes.append(None)
                     errors.append(str(ex))
                 except Exception as ex:  # malformed beyond recognition
@@ -299,8 +328,22 @@ def make_fake_media(spark, n: int = 64) -> DataFrame:
             rows.append((i, "image", encode_png(img), "image/png", w, h))
         elif i % 4 == 1:
             w, h = 32 + i, 18 + i
-            content = b"GIF89a" + struct.pack("<HH", w, h) + bytes([i % 251]) * 50
-            rows.append((i, "image", content, "image/gif", w, h))
+            if i % 8 == 1:
+                # a REAL decodable baseline JPEG (4:2:0 on odd multiples
+                # to exercise subsampled decode in the Spark e2e tests)
+                from ..functions.jpeg import encode_jpeg
+
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [(xx * 5 + i) % 256, (yy * 3 + i) % 256, (xx * yy + i) % 256],
+                    axis=2,
+                ).astype(np.uint8)
+                sub = "420" if (i // 8) % 2 else "444"
+                content = encode_jpeg(img, quality=90, subsampling=sub)
+                rows.append((i, "image", content, "image/jpeg", w, h))
+            else:
+                content = b"GIF89a" + struct.pack("<HH", w, h) + bytes([i % 251]) * 50
+                rows.append((i, "image", content, "image/gif", w, h))
         elif i % 4 == 2:
             content = make_wav_bytes(seconds=0.1 + (i % 5) * 0.1, rate=8000 + 1000 * (i % 3), fill=i)
             rows.append((i, "audio", content, "audio/wav", None, None))

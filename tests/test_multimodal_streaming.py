@@ -78,20 +78,30 @@ def test_audio_metadata_wav_headers(spark, media):
 
 
 def test_resize_real_pngs_and_dirty_rows(spark, media):
-    """resize_image is REAL for PNG: the fixture's PNG rows decode,
-    resample and re-encode; GIF/WAV/video rows come back as error rows,
-    never task failures (dirty-input contract)."""
+    """resize_image is REAL for PNG and baseline JPEG: those fixture
+    rows decode, resample and re-encode (format preserved); GIF/WAV/
+    video rows come back as error rows, never task failures
+    (dirty-input contract)."""
+    from data_quality_automated_evaluator_spark.functions.jpeg import decode_jpeg
     from data_quality_automated_evaluator_spark.functions.png import decode_png
 
     out = resize_image(media, 64, 64).toPandas().set_index("media_id")
     assert len(out) == media.count()
     kinds = {r["media_id"]: r["mime"] for r in media.select("media_id", "mime").collect()}
+    n_jpeg = 0
     for mid, row in out.iterrows():
         if kinds[mid] == "image/png":
             assert row["error"] is None, row["error"]
             assert decode_png(bytes(row["content"])).shape == (64, 64, 3)
+        elif kinds[mid] == "image/jpeg":
+            n_jpeg += 1
+            assert row["error"] is None, row["error"]
+            content = bytes(row["content"])
+            assert content[:2] == b"\xff\xd8"  # stays a JPEG
+            assert decode_jpeg(content).shape == (64, 64, 3)
         else:
             assert row["content"] is None and row["error"] is not None
+    assert n_jpeg > 0  # the fixture actually contains real JPEGs
 
 
 def test_sample_frames_shape(spark, media):

@@ -369,3 +369,27 @@ def test_svg_escapes_titles_and_labels(tmp_path):
     ET.fromstring(svg)  # parses only if metacharacters were escaped
     assert "count &amp; &lt;rate&gt;" in svg
     assert "a&lt;b" in svg and "c&amp;d" in svg
+
+
+def test_charts_jpeg_export(tmp_path):
+    """fmt='jpeg' renders a real decodable baseline JPEG chart via the
+    stdlib encoder (reference plot.py:67-71 export-format parity)."""
+    import pandas as pd
+
+    from data_quality_automated_evaluator_spark import charts as ch
+    from data_quality_automated_evaluator_spark.functions.jpeg import decode_jpeg
+    from data_quality_automated_evaluator_spark.operators.evaluate import ColumnEvaluation
+
+    data = pd.DataFrame(
+        {"__time_interval": ["a", "b", "c"], "x": [1.0, 3.0, 2.0]}
+    )
+    ev = ColumnEvaluation(
+        column="x", title="x", mean=2.0, std=1.0, q1=1.5, q3=2.5, min=1.0,
+        max=3.0, iqr_lb=0.0, iqr_ub=4.0, n_intervals=3, n_outliers_iqr=0,
+        pct_outliers_iqr=0.0, n_outliers_zscore=0, pct_outliers_zscore=0.0,
+        chart_bounds=(0.5, 2.5),
+    )
+    path = ch.make_charts(data, [ev], str(tmp_path), "g", fmt="jpeg")
+    assert path.endswith(".jpeg")
+    img = decode_jpeg(open(path, "rb").read())
+    assert img.shape[2] == 3 and (img < 250).any()  # something was drawn
