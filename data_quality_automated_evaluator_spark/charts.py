@@ -272,6 +272,52 @@ def render_jpeg(
     return path
 
 
+def render_pdf(
+    data: pd.DataFrame, evaluations: list[ColumnEvaluation], path: str
+) -> str:
+    """PDF chart export (reference plot.py:67-71 format parity): a
+    minimal single-page PDF whose page image is the chart raster encoded
+    by our own baseline JPEG encoder and embedded verbatim as a
+    ``/DCTDecode`` image XObject — the standard way JPEG travels inside
+    PDF, so any conforming viewer renders it with zero extra codecs.
+    Byte offsets in the xref table are computed exactly; output is
+    deterministic."""
+    from .functions.jpeg import encode_jpeg
+
+    canvas = _render_canvas(data, evaluations)
+    h, w = canvas.shape[:2]
+    jpg = encode_jpeg(canvas, quality=92)
+    content = f"q {w} 0 0 {h} 0 0 cm /Im0 Do Q".encode()
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] "
+         f"/Resources << /XObject << /Im0 4 0 R >> >> "
+         f"/Contents 5 0 R >>").encode(),
+        (f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+         f"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode "
+         f"/Length {len(jpg)} >>").encode()
+        + b"\nstream\n" + jpg + b"\nendstream",
+        f"<< /Length {len(content)} >>".encode()
+        + b"\nstream\n" + content + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
+    return path
+
+
 def make_charts(
     data: pd.DataFrame,
     evaluations: list[ColumnEvaluation],
@@ -282,8 +328,10 @@ def make_charts(
     """Render charts for one column group; returns the artifact path.
 
     ``fmt``: "png" (matplotlib, stdlib fallback), "jpeg" (stdlib
-    baseline encoder), "svg" (stdlib), or "json" (data only); default
-    picks png when matplotlib is available, else svg.
+    baseline encoder), "pdf" (DCTDecode-embedded page), "svg" (stdlib),
+    or "json" (data only); default picks png when matplotlib is
+    available, else svg. Of the reference's export set
+    (png/jpeg/webp/svg/pdf, plot.py:67-71) only webp remains absent.
     """
     os.makedirs(out_dir, exist_ok=True)
     x = data[TIME_INTERVAL_COL]
@@ -292,6 +340,10 @@ def make_charts(
     if fmt in ("jpeg", "jpg"):
         return render_jpeg(
             data, evaluations, os.path.join(out_dir, f"{group_name}.jpeg")
+        )
+    if fmt == "pdf":
+        return render_pdf(
+            data, evaluations, os.path.join(out_dir, f"{group_name}.pdf")
         )
     if fmt == "png" and not HAVE_MPL:
         # real PNG without matplotlib: the stdlib rasterizer (series +

@@ -393,3 +393,44 @@ def test_charts_jpeg_export(tmp_path):
     assert path.endswith(".jpeg")
     img = decode_jpeg(open(path, "rb").read())
     assert img.shape[2] == 3 and (img < 250).any()  # something was drawn
+
+
+def test_charts_pdf_export(tmp_path):
+    """fmt='pdf' emits a structurally valid single-page PDF whose page
+    image is our own baseline JPEG (embedded verbatim as /DCTDecode) —
+    the xref offsets must point at the actual object starts."""
+    import re
+
+    import pandas as pd
+
+    from data_quality_automated_evaluator_spark import charts as ch
+    from data_quality_automated_evaluator_spark.functions.jpeg import decode_jpeg
+    from data_quality_automated_evaluator_spark.operators.evaluate import ColumnEvaluation
+
+    data = pd.DataFrame(
+        {"__time_interval": ["a", "b", "c"], "x": [1.0, 3.0, 2.0]}
+    )
+    ev = ColumnEvaluation(
+        column="x", title="x", mean=2.0, std=1.0, q1=1.5, q3=2.5, min=1.0,
+        max=3.0, iqr_lb=0.0, iqr_ub=4.0, n_intervals=3, n_outliers_iqr=0,
+        pct_outliers_iqr=0.0, n_outliers_zscore=0, pct_outliers_zscore=0.0,
+        chart_bounds=(0.5, 2.5),
+    )
+    path = ch.make_charts(data, [ev], str(tmp_path), "g", fmt="pdf")
+    assert path.endswith(".pdf")
+    raw = open(path, "rb").read()
+    assert raw.startswith(b"%PDF-1.4") and raw.rstrip().endswith(b"%%EOF")
+    # every xref offset lands exactly on "<n> 0 obj" ("\nxref" — a bare
+    # rindex("xref") would find the later "startxref" token instead)
+    xref = raw[raw.rindex(b"\nxref"):]
+    offsets = [int(m) for m in re.findall(rb"^(\d{10}) 00000 n", xref, re.M)]
+    assert len(offsets) == 5
+    for i, off in enumerate(offsets, start=1):
+        assert raw[off:].startswith(f"{i} 0 obj".encode()), (i, off)
+    # the embedded DCTDecode stream is a decodable JPEG of the canvas
+    m = re.search(rb"/Filter /DCTDecode /Length (\d+) >>\nstream\n", raw)
+    assert m
+    start = m.end()
+    jpg = raw[start : start + int(m.group(1))]
+    img = decode_jpeg(jpg)
+    assert img.shape == (170, 720, 3)
