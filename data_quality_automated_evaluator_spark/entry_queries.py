@@ -1696,3 +1696,77 @@ def unpivot_interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("v", F.round("v", 6))
         .orderBy("bucket_day", "stat")
     )
+
+
+@register(
+    "chunk_documents_64_16",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      FROM documents WHERE doc_id < 120
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             array_to_string(list_slice(t, i * 48 + 1, i * 48 + 64), ' ')
+               AS chunk_text
+      FROM (
+        SELECT doc_id, t,
+               UNNEST(range(0, CAST(ceil(len(t) / 48.0) AS BIGINT))) AS i
+        FROM toks WHERE len(t) > 0
+      )
+    )
+    SELECT doc_id, chunk_idx, chunk_text,
+           CAST(len(list_filter(string_split_regex(chunk_text, '\s+'),
+                                x -> x <> '')) AS INT) AS n_chunk_tokens
+    FROM chunks ORDER BY doc_id, chunk_idx
+    """,
+)
+def chunk_documents_64_16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (64-token windows, 16-token overlap) — the
+    context-length budgeting stage of a pretraining pipeline, pure
+    Catalyst array exprs, map-only (operators/chunking.py)."""
+    from .operators.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return chunk_documents(docs, chunk_tokens=64, overlap=16).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+@register(
+    "tfidf_top_terms_documents",
+    oracle=r"""
+    WITH terms AS (
+      SELECT doc_id, UNNEST(list_filter(
+               string_split_regex(trim(lower(text)), '\s+'), x -> x <> ''))
+               AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+    docfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * (ln((n.n_docs + 1.0) / (docfreq.df + 1.0)) + 1.0) AS score
+      FROM tf JOIN docfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, term) AS INT) AS rank,
+             round(score, 6) AS score
+      FROM scored
+    )
+    SELECT doc_id, term, rank, score FROM ranked
+    WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+)
+def tfidf_top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords (smoothed idf, deterministic
+    tie order) — keyword extraction for corpus exploration/routing
+    (functions/textstats.tfidf_top_terms)."""
+    from .functions.textstats import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_top_terms(docs, k=3).orderBy("doc_id", "rank")

@@ -129,6 +129,62 @@ def pandas_text_features(texts: pd.Series) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-``k`` terms by smoothed TF-IDF:
+    ``score = tf * (ln((N + 1) / (df + 1)) + 1)`` over lowercase
+    whitespace tokens. Deterministic total order ``(score DESC, term)``
+    so ranks are engine-stable. Output: ``(id_col, term, rank, score)``.
+
+    Scale shape: explode → two hash aggregations ((doc, term) counts,
+    then per-term document frequency) → equi-join back on ``term``
+    (uniform keys; AQE broadcasts the df side when the vocabulary is
+    small, shuffle-joins when it is not — at web scale the vocab is
+    itself huge, so it must NOT be forced broadcast) + a 1-row
+    broadcast of N. All JVM; value-checked by the DuckDB oracle.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    terms = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).alias("n_docs")
+    )
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + F.lit(1.0)),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "term",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Repetition statistics (Gopher-style quality signals)
 # ---------------------------------------------------------------------------
 
