@@ -9,10 +9,12 @@ all five scanline filters) and baseline-sequential JPEG decode/encode
 (``functions/jpeg.py``: Huffman entropy decode, dequant, numpy IDCT,
 chroma upsampling, 4:4:4/4:2:0 encode, restart intervals) are REAL —
 resize and pixel features run on actual pixels for both dominant web
-image formats. GIF remains a header-only parse, ``sample_frames`` a
-deterministic fake behind a clearly-marked seam (no video codecs in
-this container). Swapping in Pillow / torchaudio / pyav changes ONE
-function body each; the distributed plumbing stays identical.
+image formats. Video frame sampling is REAL for MJPEG-in-AVI
+(``functions/avi.py`` RIFF demux → per-frame JPEG decode); GIF remains
+a header-only parse and inter-frame video codecs (H.264/VP9) the
+deterministic-fake seam — swapping in Pillow / torchaudio / pyav
+changes ONE function body each; the distributed plumbing stays
+identical.
 
 Scale shape: binary payloads never shuffle — all multimodal transforms
 are map-only (``mapInPandas``), so the plan is scan → transform → sink
@@ -288,25 +290,54 @@ def resize_image(df: DataFrame, width: int, height: int,
     )
 
 
+FRAME_SCHEMA = (
+    "media_id long, frame_idx int, frame_bytes binary, frame_sha string, "
+    "is_real boolean"
+)
+
+
 def sample_frames(df: DataFrame, every_n: int = 30,
                   content_col: str = "content", id_col: str = "media_id") -> DataFrame:
-    """Video frame sampling seam — STUB (needs pyav/ffmpeg): deterministic
-    fake emits frame INDEX rows (the real implementation yields decoded
-    frame bytes with the same schema + frame_idx)."""
+    """Video frame sampling, map-only. REAL for MJPEG-in-AVI (the RIFF
+    container walk in ``functions/avi.py`` yields every Nth frame's
+    actual JPEG bytes, decodable by ``functions/jpeg.py`` —
+    ``is_real=True``); other video codecs (H.264/VP9/...) fall through
+    to the deterministic digest fake (``is_real=False``, NULL bytes) —
+    the honest pyav/ffmpeg seam, one function body to swap."""
+    from ..functions.avi import AviFormatError, demux_mjpeg_frames
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = {"media_id": [], "frame_idx": [], "frame_sha": []}
+            rows = {"media_id": [], "frame_idx": [], "frame_bytes": [],
+                    "frame_sha": [], "is_real": []}
             for mid, c in zip(pdf[id_col], pdf[content_col]):
+                c = bytes(c) if c is not None else None
+                if c is not None and c[:4] == b"RIFF":
+                    try:
+                        for k, jpg in demux_mjpeg_frames(c):
+                            if k % every_n:
+                                continue
+                            rows["media_id"].append(mid)
+                            rows["frame_idx"].append(k)
+                            rows["frame_bytes"].append(jpg)
+                            rows["frame_sha"].append(
+                                hashlib.sha256(jpg).hexdigest()
+                            )
+                            rows["is_real"].append(True)
+                        continue
+                    except AviFormatError:
+                        pass  # malformed RIFF → digest fake, never a crash
                 n_fake_frames = (len(c) // 1000 if c is not None else 0) + 1
                 for k in range(0, n_fake_frames, every_n):
                     rows["media_id"].append(mid)
                     rows["frame_idx"].append(k)
+                    rows["frame_bytes"].append(None)
                     h = hashlib.sha256((c or b"") + str(k).encode()).hexdigest()
                     rows["frame_sha"].append(h)
+                    rows["is_real"].append(False)
             yield pd.DataFrame(rows)
 
-    return df.mapInPandas(_batches, schema="media_id long, frame_idx int, frame_sha string")
+    return df.mapInPandas(_batches, schema=FRAME_SCHEMA)
 
 
 def make_fake_media(spark, n: int = 64) -> DataFrame:
@@ -348,5 +379,24 @@ def make_fake_media(spark, n: int = 64) -> DataFrame:
             content = make_wav_bytes(seconds=0.1 + (i % 5) * 0.1, rate=8000 + 1000 * (i % 3), fill=i)
             rows.append((i, "audio", content, "audio/wav", None, None))
         else:
-            rows.append((i, "video", bytes([i % 251]) * (1000 * (i % 5 + 1)), "video/fake", None, None))
+            if i % 8 == 3:
+                # a REAL MJPEG AVI: JPEG frames in a RIFF container, so
+                # sample_frames exercises the genuine demux+decode path
+                from ..functions.avi import mux_mjpeg_avi
+                from ..functions.jpeg import encode_jpeg
+
+                w, h = 24, 16
+                frames = []
+                for k in range(i % 5 + 3):
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    img = np.stack(
+                        [(xx * 9 + k * 17) % 256, (yy * 5 + k) % 256,
+                         (xx + yy + k * 31) % 256],
+                        axis=2,
+                    ).astype(np.uint8)
+                    frames.append(encode_jpeg(img, quality=88))
+                content = mux_mjpeg_avi(frames, w, h, fps=5)
+                rows.append((i, "video", content, "video/x-msvideo", w, h))
+            else:
+                rows.append((i, "video", bytes([i % 251]) * (1000 * (i % 5 + 1)), "video/fake", None, None))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -104,11 +104,29 @@ def test_resize_real_pngs_and_dirty_rows(spark, media):
     assert n_jpeg > 0  # the fixture actually contains real JPEGs
 
 
-def test_sample_frames_shape(spark, media):
+def test_sample_frames_real_mjpeg_and_fake_seam(spark, media):
+    """sample_frames is REAL for MJPEG/AVI fixture rows (demuxed frames
+    are decodable JPEGs, is_real=True) and falls back to the
+    deterministic digest fake (is_real=False, NULL bytes) for opaque
+    video blobs — per-row, never a task failure."""
+    import hashlib
+
+    from data_quality_automated_evaluator_spark.functions.jpeg import decode_jpeg
+
     out = sample_frames(media.filter(F.col("kind") == "video"), every_n=2).toPandas()
     assert len(out) > 0
-    assert set(out.columns) == {"media_id", "frame_idx", "frame_sha"}
+    assert set(out.columns) == {
+        "media_id", "frame_idx", "frame_bytes", "frame_sha", "is_real"
+    }
     assert (out["frame_idx"] % 2 == 0).all()
+    real = out[out["is_real"]]
+    fake = out[~out["is_real"]]
+    assert len(real) > 0 and len(fake) > 0  # fixture has both kinds
+    for _, r in real.iterrows():
+        jpg = bytes(r["frame_bytes"])
+        assert decode_jpeg(jpg).shape == (16, 24, 3)
+        assert hashlib.sha256(jpg).hexdigest() == r["frame_sha"]
+    assert fake["frame_bytes"].isna().all()
 
 
 def test_streaming_quality(spark, tmp_path):
