@@ -1770,3 +1770,53 @@ def tfidf_top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return tfidf_top_terms(docs, k=3).orderBy("doc_id", "rank")
+
+
+@register(
+    "pack_chunks_256",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      FROM documents WHERE doc_id < 120
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             CAST(len(list_slice(t, i * 48 + 1, i * 48 + 64)) AS INT)
+               AS n_chunk_tokens
+      FROM (
+        SELECT doc_id, t,
+               UNNEST(range(0, CAST(ceil(len(t) / 48.0) AS BIGINT))) AS i
+        FROM toks WHERE len(t) > 0
+      )
+    ),
+    cum AS (
+      SELECT doc_id, chunk_idx, n_chunk_tokens,
+             CAST(coalesce(sum(n_chunk_tokens) OVER (
+               ORDER BY doc_id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS before
+      FROM chunks
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(floor(before / 256.0) AS BIGINT) AS pack_id,
+           CAST(before % 256 AS INT) AS pack_offset,
+           n_chunk_tokens
+    FROM cum ORDER BY doc_id, chunk_idx
+    """,
+)
+def pack_chunks_256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (greedy concat into 256-token packs) over the
+    chunked documents — the distributed-prefix-sum operator
+    (operators/chunking.pack_chunks): per-partition running sums +
+    broadcast partition offsets, never a single global sort reducer.
+    The DuckDB oracle is the semantic spec (one global window)."""
+    from .operators.chunking import chunk_documents, pack_chunks
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    chunks = chunk_documents(docs, chunk_tokens=64, overlap=16)
+    return (
+        pack_chunks(chunks, capacity=256)
+        .select("doc_id", "chunk_idx", "pack_id", "pack_offset", "n_chunk_tokens")
+        .orderBy("doc_id", "chunk_idx")
+    )

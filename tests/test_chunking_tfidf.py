@@ -102,3 +102,41 @@ def test_tfidf_tie_order_deterministic(spark):
     )
     out = {r["rank"]: r["term"] for r in tfidf_top_terms(df, k=2).filter(F.col("doc_id") == 1).collect()}
     assert out == {1: "alpha", 2: "zebra"}
+
+
+def test_pack_chunks_prefix_sum_exact(spark):
+    """pack_id/pack_offset reconstruct the exact global token stream
+    position regardless of input partitioning — the distributed prefix
+    sum (per-partition windows + broadcast offsets) must equal the
+    single-window semantic spec."""
+    from data_quality_automated_evaluator_spark.operators.chunking import pack_chunks
+
+    rows = [(d, i, 10 + (d * 7 + i) % 23) for d in range(40) for i in range(d % 4 + 1)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, chunk_idx int, n_chunk_tokens int"
+    )
+    for parts in (1, 7):  # partitioning must not change the answer
+        out = (
+            pack_chunks(df.repartition(parts), capacity=64)
+            .orderBy("doc_id", "chunk_idx")
+            .collect()
+        )
+        before = 0
+        for r in out:
+            assert r["pack_id"] == before // 64
+            assert r["pack_offset"] == before % 64
+            assert 0 <= r["pack_offset"] < 64
+            before += r["n_chunk_tokens"]
+        assert before == sum(t for _, _, t in rows)
+
+    with pytest.raises(ValueError, match="capacity"):
+        pack_chunks(df, capacity=0)
+
+
+def test_pack_chunks_empty(spark):
+    from data_quality_automated_evaluator_spark.operators.chunking import pack_chunks
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, chunk_idx int, n_chunk_tokens int"
+    )
+    assert pack_chunks(empty, capacity=16).count() == 0
