@@ -1820,3 +1820,57 @@ def pack_chunks_256(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "chunk_idx", "pack_id", "pack_offset", "n_chunk_tokens")
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@register(
+    "dup_span_stats_documents",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, t, CAST(len(t) AS INT) AS n_tokens
+      FROM toks WHERE len(t) >= 5
+    ),
+    grams AS (
+      SELECT doc_id, n_tokens, CAST(i AS INT) AS pos,
+             array_to_string(list_slice(t, i + 1, i + 5), ' ') AS gram
+      FROM (
+        SELECT doc_id, t, n_tokens, UNNEST(range(0, n_tokens - 5 + 1)) AS i
+        FROM base
+      )
+    ),
+    dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+    dpos AS (SELECT doc_id, n_tokens, pos FROM grams JOIN dup USING (gram)),
+    sweep AS (
+      SELECT doc_id, n_tokens, pos,
+             max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+      FROM dpos
+    ),
+    agg AS (
+      SELECT doc_id, n_tokens,
+             CAST(count(*) AS BIGINT) AS n_dup_grams,
+             CAST(sum(CASE WHEN m IS NULL OR pos > m + 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_spans,
+             CAST(sum(greatest(0, pos + 4
+                  - greatest(coalesce(m, pos - 1), pos - 1))) AS BIGINT)
+               AS covered_tokens
+      FROM sweep GROUP BY 1, 2
+    )
+    SELECT doc_id, n_tokens, n_dup_grams, n_spans, covered_tokens,
+           round(covered_tokens / n_tokens, 6) AS dup_fraction
+    FROM agg ORDER BY doc_id
+    """,
+)
+def dup_span_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. 2022 semantics via
+    k-gram inversion): per-doc maximal duplicated runs of >= 5 tokens
+    with union coverage — the span-cut dedup stage
+    (operators/spans.duplicated_span_stats)."""
+    from .operators.spans import duplicated_span_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicated_span_stats(docs, k=5, min_count=2).orderBy("doc_id")
