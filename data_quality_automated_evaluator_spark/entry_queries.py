@@ -1874,3 +1874,68 @@ def dup_span_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return duplicated_span_stats(docs, k=5, min_count=2).orderBy("doc_id")
+
+
+from .operators.bloom import bit_position_expr_at as _bloom_pos
+
+_BLOOM_M = 1 << 15
+_BLOOM_ORACLE = f"""
+    WITH hist AS (
+      SELECT md5(text) AS h, text FROM documents WHERE doc_id % 2 = 0
+    ),
+    hpos AS (
+      SELECT {_bloom_pos('h', 'j.j', _BLOOM_M)} AS p
+      FROM hist, (SELECT UNNEST(range(0, 3)) AS j) j
+    ),
+    bloom AS (
+      SELECT p // 32 AS bucket,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+      FROM hpos GROUP BY 1
+    ),
+    probe AS (
+      SELECT doc_id, text, md5(text) AS h FROM documents WHERE doc_id % 2 = 1
+    ),
+    ppos AS (
+      SELECT doc_id, {_bloom_pos('h', 'j.j', _BLOOM_M)} AS p
+      FROM probe, (SELECT UNNEST(range(0, 3)) AS j) j
+    ),
+    hits AS (
+      SELECT doc_id,
+             bool_and(coalesce(
+               (b.bits & (CAST(1 AS BIGINT) << CAST(p.p % 32 AS INT))) <> 0,
+               FALSE)) AS maybe_seen
+      FROM ppos p LEFT JOIN bloom b ON b.bucket = p.p // 32
+      GROUP BY doc_id
+    )
+    SELECT p.doc_id, h.maybe_seen,
+           EXISTS (SELECT 1 FROM hist WHERE hist.text = p.text) AS seen
+    FROM probe p JOIN hits h USING (doc_id) ORDER BY p.doc_id
+"""
+
+
+@register("bloom_probe_documents", oracle=_BLOOM_ORACLE)
+def bloom_probe_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership prefilter: even-id documents build a
+    2^15-bit / 3-hash bitset (distributed bit_or aggregation, bounded
+    driver collect), odd-id documents probe it map-only via a broadcast
+    literal array (operators/bloom.py). `seen` is the exact answer, so
+    the value check also certifies the no-false-negative property on
+    this data; the DuckDB oracle rebuilds the identical bitset from the
+    same md5-nibble arithmetic."""
+    from .operators.bloom import bloom_build, bloom_probe
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    probe = docs.filter(F.col("doc_id") % 2 == 1)
+    bits = bloom_build(hist, key_col="text", m_bits=_BLOOM_M, n_hashes=3)
+    out = bloom_probe(probe, bits, key_col="text", n_hashes=3)
+    seen = hist.select("text").distinct().withColumn("_seen", F.lit(True))
+    return (
+        out.join(seen, "text", "left")
+        .select(
+            "doc_id",
+            "maybe_seen",
+            F.coalesce(F.col("_seen"), F.lit(False)).alias("seen"),
+        )
+        .orderBy("doc_id")
+    )
