@@ -1939,3 +1939,26 @@ def bloom_probe_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+from .operators.sampling import balanced_mix_oracle_sql as _mix_oracle
+
+
+@register(
+    "balanced_mix_documents",
+    oracle=_mix_oracle("documents", "d.doc_id, d.lang, d.source")
+    + " ORDER BY d.doc_id",
+)
+def balanced_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing rebalance: thin every language stratum toward the
+    rarest language's count — tiny count agg, exact-integer thresholds
+    broadcast back, md5-bucket keep decision in scan codegen
+    (operators/sampling.balanced_mix_sample)."""
+    from .operators.sampling import balanced_mix_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return (
+        balanced_mix_sample(docs, strata_col="lang", key_col="doc_id")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )

@@ -106,6 +106,78 @@ def stratified_sample(
     )
 
 
+def balanced_mix_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    targets: dict[str, int] | None = None,
+) -> DataFrame:
+    """Data-mixing resample: thin each stratum toward a target count —
+    by default the size of the RAREST stratum, i.e. a balanced mix.
+
+    Unlike :func:`stratified_sample` the rates are not given, they are
+    COMPUTED from the observed stratum counts, so the operator is the
+    two-phase shape a mixture-rebalancing job has at corpus scale: a
+    tiny per-stratum count aggregation (map-side combined), thresholds
+    derived with exact integer arithmetic (``target * 65536 div cnt`` —
+    no float rate, so engine-portable to the oracle), broadcast back,
+    and the same md5-bucket keep decision as every sampler here running
+    inside the scan's codegen. Expectation-level thinning: a stratum
+    lands within binomial noise of the target, never above
+    ``rate = 1`` (no upsampling — strata at or below target pass
+    through whole).
+
+    ``targets`` optionally pins absolute per-stratum counts (e.g. a
+    mixture recipe); missing strata default to the min-count target.
+    """
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("_cnt"))
+    w = Window.partitionBy()
+    counts = counts.withColumn("_min_cnt", F.min("_cnt").over(w))
+    if targets:
+        tgt = "CASE " + " ".join(
+            f"WHEN cast({strata_col} as string) = {_sql_quote(s)} "
+            f"THEN CAST({int(t)} AS BIGINT)"
+            for s, t in sorted(targets.items())
+        ) + " ELSE _min_cnt END"
+    else:
+        tgt = "_min_cnt"
+    thr = counts.select(
+        strata_col,
+        F.expr(f"({tgt} * {_BUCKETS}) div _cnt").alias("_thr"),
+    )
+    key = f"concat(cast({strata_col} as string), ':', cast({key_col} as string))"
+    return (
+        df.join(F.broadcast(thr), strata_col)
+        .filter(F.expr(f"{_bucket_expr(key)} < _thr"))
+        .drop("_thr")
+    )
+
+
+def balanced_mix_oracle_sql(
+    table: str,
+    select_cols: str,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+) -> str:
+    """DuckDB query matching :func:`balanced_mix_sample` (default
+    min-count target) — same integer threshold math and bucket hash."""
+    key = f"concat(cast({strata_col} as string), ':', cast({key_col} as string))"
+    return f"""
+    WITH counts AS (
+      SELECT {strata_col}, CAST(count(*) AS BIGINT) AS cnt
+      FROM {table} GROUP BY {strata_col}
+    ),
+    tgt AS (SELECT min(cnt) AS target FROM counts),
+    thr AS (
+      SELECT {strata_col}, (tgt.target * {_BUCKETS}) // cnt AS threshold
+      FROM counts, tgt
+    )
+    SELECT {select_cols}
+    FROM {table} d JOIN thr USING ({strata_col})
+    WHERE {_bucket_expr(key)} < thr.threshold
+    """
+
+
 def stratified_take(
     df: DataFrame,
     n_per_stratum: int,

@@ -762,3 +762,39 @@ def test_connected_components_jobs_and_nonconvergence(spark):
 
     with pytest.raises(RuntimeError, match="not converged"):
         connected_components(chain, max_iter=2)
+
+
+def test_balanced_mix_sample(spark):
+    from data_quality_automated_evaluator_spark.operators.sampling import balanced_mix_sample
+
+    # 3 strata: 400 / 100 / 40 rows -> default target = 40 each
+    rows = (
+        [(i, "big") for i in range(400)]
+        + [(1000 + i, "mid") for i in range(100)]
+        + [(2000 + i, "rare") for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = balanced_mix_sample(df, strata_col="lang", key_col="doc_id")
+    by = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    # rarest stratum passes through whole (rate 1), others thin toward 40
+    assert by["rare"] == 40
+    assert 15 <= by["big"] <= 70 and 15 <= by["mid"] <= 70
+    # deterministic: same result regardless of partitioning
+    again = balanced_mix_sample(
+        df.repartition(7), strata_col="lang", key_col="doc_id"
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    # explicit targets pin absolute counts; a target above the stratum
+    # size keeps the whole stratum (no upsampling)
+    pinned = balanced_mix_sample(
+        df, strata_col="lang", key_col="doc_id",
+        targets={"big": 200, "mid": 1000},
+    )
+    byp = {r["lang"]: r["n"] for r in pinned.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    assert byp["mid"] == 100            # capped at stratum size
+    assert 150 <= byp["big"] <= 250     # ~200 in expectation
+    assert byp["rare"] == 40            # unlisted -> min-count target = all
