@@ -81,6 +81,7 @@ def _infer_format(path: str) -> str | None:
     return {
         "csv": "csv", "tsv": "csv", "parquet": "parquet", "pq": "parquet",
         "xlsx": "xlsx", "json": "json", "ndjson": "json", "jsonl": "json",
+        "orc": "orc",
     }.get(ext)
 
 
@@ -232,6 +233,13 @@ def read_source(spark: SparkSession, source: dict) -> DataFrame:
     if fmt == "json":
         return apply_schema_overrides(
             spark.read.options(**options).json(paths), overrides
+        )
+    if fmt == "orc":
+        # columnar like parquet: vectorized reader, predicate pushdown and
+        # column pruning all apply; free with Spark, so the dispatch is
+        # the only code needed
+        return apply_schema_overrides(
+            spark.read.options(**options).orc(*paths), overrides
         )
     if fmt == "xlsx":
         try:

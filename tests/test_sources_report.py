@@ -62,6 +62,12 @@ def test_read_source_dispatch(spark, sf_dir, tmp_path):
     assert dict(df.dtypes)["d"] == "date"
     with pytest.raises(ValueError, match="unsupported file format"):
         read_source(spark, {"path": "x.xyz"})
+    # orc round-trip (columnar sibling of parquet, free with Spark)
+    orc_dir = str(tmp_path / "events_orc")
+    spark.read.parquet(f"{sf_dir}/events.parquet").limit(100).write.orc(orc_dir)
+    df = read_source(spark, {"path": orc_dir, "file_format": "orc"})
+    assert df.count() == 100
+    assert "event_type" in df.columns
 
 
 def test_jdbc_live_roundtrip(spark, sf_dir):
