@@ -1962,3 +1962,56 @@ def balanced_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "kmeans_embeddings_2iter",
+    oracle="""
+    WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (
+      SELECT CAST(vec_id AS INT) AS cell,
+             list_transform(v, x -> round(x, 6)) AS c
+      FROM vecs WHERE vec_id < 4
+    ),
+    a1 AS (
+      SELECT vec_id, v, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY
+               list_sum(list_transform(range(1, 65),
+                 i -> (v[i] - c.c[i]) * (v[i] - c.c[i]))), cell) AS rk
+      FROM vecs, c0 c
+    ),
+    m1 AS (SELECT vec_id, v, cell FROM a1 WHERE rk = 1),
+    c1 AS (
+      SELECT cell, list(round(m, 6) ORDER BY pos) AS c
+      FROM (
+        SELECT cell, i.i AS pos, avg(v[i.i]) AS m
+        FROM m1, (SELECT UNNEST(range(1, 65)) AS i) i
+        GROUP BY cell, i.i
+      ) GROUP BY cell
+    ),
+    a2 AS (
+      SELECT vec_id, v, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY
+               list_sum(list_transform(range(1, 65),
+                 i -> (v[i] - c.c[i]) * (v[i] - c.c[i]))), cell) AS rk
+      FROM vecs, c1 c
+    ),
+    m2 AS (SELECT vec_id, cell, v FROM a2 WHERE rk = 1)
+    SELECT CAST(cell AS INT) AS cell, CAST(i.i - 1 AS INT) AS pos,
+           round(avg(v[i.i]), 6) AS centroid_val,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM m2, (SELECT UNNEST(range(1, 65)) AS i) i
+    GROUP BY cell, i.i ORDER BY cell, pos
+    """,
+)
+def kmeans_embeddings_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means, 2 iterations, k=4 over the embeddings
+    table — iterative broadcast refinement in pure Catalyst (assignment
+    via zip_with/aggregate/array_min codegen, update via posexplode +
+    k*d-group avg, bounded O(k*d) driver collect per iteration). The
+    DuckDB oracle unrolls both iterations as CTEs
+    (operators/kmeans.kmeans_stats)."""
+    from .operators.kmeans import kmeans_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_stats(emb, k=4, iters=2).orderBy("cell", "pos")
