@@ -2015,3 +2015,46 @@ def kmeans_embeddings_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return kmeans_stats(emb, k=4, iters=2).orderBy("cell", "pos")
+
+
+from .functions.classifier import (
+    lr_score_oracle_sql as _lr_score_oracle,
+    lr_train_oracle_sql as _lr_train_oracle,
+)
+
+_LR_SCORE_W = [0.0, 0.5, 8.0, -2.0]
+
+
+@register(
+    "lr_train_documents",
+    oracle=_lr_train_oracle("documents", lr=8.0, iters=4),
+)
+def lr_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training (full-batch GD, 4
+    iterations) distilling a heuristic token-count rule into a smooth
+    quality scorer — one partial/final gradient aggregation per
+    iteration, bounded O(d) collect, engine-rounded weight trajectory
+    value-checked by a CTE-unrolled oracle
+    (functions/classifier.lr_train_stats)."""
+    from .functions.classifier import lr_train_stats
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return lr_train_stats(docs, lr=8.0, iters=4)
+
+
+@register(
+    "lr_score_documents",
+    oracle=_lr_score_oracle("documents", _LR_SCORE_W) + " ORDER BY doc_id",
+)
+def lr_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: sigmoid(w·x) over JVM feature
+    expressions, map-only in scan codegen — the classifier-filter stage
+    (functions/classifier.lr_score)."""
+    from .functions.classifier import lr_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        lr_score(docs, _LR_SCORE_W)
+        .select("doc_id", "keep", "score")
+        .orderBy("doc_id")
+    )

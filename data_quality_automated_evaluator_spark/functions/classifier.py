@@ -1,0 +1,194 @@
+"""Model-based quality classifier: logistic regression scored AND
+trained inside the engine.
+
+Heuristic keep/drop rules (pipeline/rules.py) are interpretable but
+brittle; production quality filtering (fastText-classifier style —
+CCNet, RedPajama, FineWeb all do this) distils them into a trained
+scorer.  This module provides both halves Spark-first:
+
+* **scoring** — ``sigmoid(w · x)`` over JVM feature expressions
+  (clipped length, centered token count, symbol ratio), map-only inside
+  whole-stage codegen.  At 10^12 turns this is a pure projection pass.
+* **training** — full-batch gradient descent, one job per iteration:
+  the gradient is ``avg((sigmoid(w·x) - y) * x_j)`` per weight — a
+  single partial→final aggregation over the corpus — followed by a
+  bounded O(d) driver collect that feeds the next broadcast of
+  literals.  The same iterative-broadcast shape as operators/kmeans.py,
+  zero Python in the hot path.
+
+Labels come from a mini heuristic rule (token count >= 50), i.e. the
+trainer distils a rule into a smooth scorer — the realistic pipeline
+coupling.  Weight updates round to 6 decimals inside the engine per
+iteration (Spark and DuckDB both round half-away-from-zero), pinning
+the trajectory so a CTE-unrolled DuckDB oracle value-checks the whole
+training run.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "feature_label_cols",
+    "lr_score",
+    "lr_train",
+    "lr_train_stats",
+    "lr_train_oracle_sql",
+    "lr_score_oracle_sql",
+]
+
+N_FEATURES = 3  # plus implicit bias term
+
+# DuckDB-side feature/label expressions (the Spark twins are built in
+# feature_label_cols; split/regexp constructs differ by engine but are
+# the repo's established parity pairs)
+_SQL_X1 = "(least(length(text), 2000) / 1000.0 - 0.3)"
+_SQL_TOK = r"len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))"
+_SQL_X2 = f"({_SQL_TOK} / 100.0 - 0.5)"
+_SQL_X3 = (
+    "((length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))"
+    " / (length(text) + 1.0))"
+)
+_SQL_Y = f"(CASE WHEN {_SQL_TOK} >= 50 THEN 1.0 ELSE 0.0 END)"
+
+
+def feature_label_cols(text_col: str = "text") -> tuple[list[Column], Column]:
+    """Spark feature columns [x1, x2, x3] and the label column y."""
+    t = F.col(text_col)
+    n_tok = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != F.lit("")))
+    x1 = F.least(F.length(t), F.lit(2000)) / 1000.0 - 0.3
+    x2 = n_tok / 100.0 - 0.5
+    x3 = (F.length(t) - F.length(F.regexp_replace(t, "[^a-z0-9 ]", ""))) / (
+        F.length(t) + 1.0
+    )
+    y = F.when(n_tok >= 50, 1.0).otherwise(0.0)
+    return [x1, x2, x3], y
+
+
+def _sigmoid(z: Column) -> Column:
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def _z(weights: list[float], terms: list[Column]) -> Column:
+    return reduce(
+        lambda a, b: a + b,
+        (F.lit(float(w)) * x for w, x in zip(weights, terms)),
+    )
+
+
+def lr_train(
+    df: DataFrame,
+    lr: float = 8.0,
+    iters: int = 4,
+    text_col: str = "text",
+) -> list[float]:
+    """Full-batch GD from zero weights; returns [w0(bias), w1..w3],
+    each engine-rounded to 6 decimals per iteration."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    feats, y = feature_label_cols(text_col)
+    terms = [F.lit(1.0)] + feats
+    w = [0.0] * (N_FEATURES + 1)
+    for _ in range(iters):
+        err = _sigmoid(_z(w, terms)) - y
+        row = df.agg(
+            *[
+                F.round(F.lit(w[j]) - lr * F.avg(err * terms[j]), 6).alias(f"w{j}")
+                for j in range(len(terms))
+            ]
+        ).collect()[0]
+        w = [row[f"w{j}"] for j in range(len(terms))]
+    return w
+
+
+def lr_train_stats(
+    df: DataFrame,
+    lr: float = 8.0,
+    iters: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train, then report one row: the final weights plus training
+    accuracy at threshold 0.5 and the row count (the distributed
+    evaluation pass)."""
+    w = lr_train(df, lr=lr, iters=iters, text_col=text_col)
+    feats, y = feature_label_cols(text_col)
+    terms = [F.lit(1.0)] + feats
+    correct = F.when(
+        (_sigmoid(_z(w, terms)) >= 0.5) == (y == 1.0), 1.0
+    ).otherwise(0.0)
+    return df.agg(
+        *[F.lit(w[j]).alias(f"w{j}") for j in range(len(w))],
+        F.round(F.avg(correct), 6).alias("train_acc"),
+        F.count("*").alias("n"),
+    )
+
+
+def lr_score(
+    df: DataFrame,
+    weights: list[float],
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Map-only scoring: appends ``score`` (rounded 6dp) and ``keep``."""
+    if len(weights) != N_FEATURES + 1:
+        raise ValueError(f"need {N_FEATURES + 1} weights (bias first)")
+    feats, _ = feature_label_cols(text_col)
+    score = _sigmoid(_z(weights, [F.lit(1.0)] + feats))
+    return df.withColumn("keep", score >= threshold).withColumn(
+        "score", F.round(score, 6)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+def _sql_sig(w0: str = "w0", w1: str = "w1", w2: str = "w2", w3: str = "w3") -> str:
+    return (
+        f"(1.0/(1.0+exp(-({w0} + {w1}*{_SQL_X1} + {w2}*{_SQL_X2}"
+        f" + {w3}*{_SQL_X3}))))"
+    )
+
+
+def lr_train_oracle_sql(table: str, lr: float = 8.0, iters: int = 4) -> str:
+    """CTE-unrolled GD matching :func:`lr_train_stats`."""
+    feats = (
+        f"SELECT {_SQL_X1} AS x1, {_SQL_X2} AS x2, {_SQL_X3} AS x3,"
+        f" {_SQL_Y} AS y FROM {table}"
+    )
+    sig = "(1.0/(1.0+exp(-(w0 + w1*x1 + w2*x2 + w3*x3))))"
+    grad = lambda xj: f"avg(({sig} - y) * {xj})"  # noqa: E731
+    step = (
+        f"SELECT round(any_value(w0) - {lr!r} * {grad('1.0')}, 6) AS w0, "
+        f"round(any_value(w1) - {lr!r} * {grad('x1')}, 6) AS w1, "
+        f"round(any_value(w2) - {lr!r} * {grad('x2')}, 6) AS w2, "
+        f"round(any_value(w3) - {lr!r} * {grad('x3')}, 6) AS w3 FROM feats, {{prev}}"
+    )
+    its = ",\n".join(
+        f"it{i + 1} AS ({step.format(prev='w_init' if i == 0 else f'it{i}')})"
+        for i in range(iters)
+    )
+    return f"""
+    WITH feats AS ({feats}),
+    w_init AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+    {its}
+    SELECT any_value(w0) AS w0, any_value(w1) AS w1, any_value(w2) AS w2,
+           any_value(w3) AS w3,
+           round(avg(CASE WHEN (({sig} >= 0.5) = (y = 1.0))
+                     THEN 1.0 ELSE 0.0 END), 6) AS train_acc,
+           CAST(count(*) AS BIGINT) AS n
+    FROM feats, it{iters}
+    """
+
+
+def lr_score_oracle_sql(table: str, weights: list[float]) -> str:
+    """Per-row scoring matching :func:`lr_score`."""
+    w = [repr(float(x)) for x in weights]
+    sig = _sql_sig(*w)
+    return f"""
+    SELECT doc_id, {sig} >= 0.5 AS keep, round({sig}, 6) AS score
+    FROM {table}
+    """
