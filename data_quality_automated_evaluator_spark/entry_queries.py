@@ -2058,3 +2058,52 @@ def lr_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "keep", "score")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "drift_flags_events_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day, avg(value) AS metric
+      FROM events GROUP BY 1, 2
+    ),
+    roll AS (
+      SELECT event_type, day, metric,
+             avg(metric) OVER w AS m,
+             stddev(metric) OVER w AS s,
+             count(metric) OVER w AS n
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, round(metric, 6) AS metric,
+           round(m, 6) AS base_mean, round(s, 6) AS base_std,
+           CAST(n AS BIGINT) AS n_baseline,
+           coalesce(n >= 3 AND metric IS NOT NULL AND s IS NOT NULL
+                    AND s > 0 AND abs(metric - m) > 2.0 * s, FALSE) AS drift
+    FROM roll ORDER BY event_type, day
+    """,
+)
+def drift_flags_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric drift detection: rolling 7-interval z-score (z=2, current
+    row excluded, warm-up guarded) over the daily mean-value series per
+    event type — pipeline-health monitoring over interval stats
+    (operators/drift.rolling_drift_flags)."""
+    from .operators.drift import rolling_drift_flags
+
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.avg("value").alias("metric"))
+    out = rolling_drift_flags(
+        daily, "metric", "day", ["event_type"], window=7, z=2.0, min_periods=3
+    )
+    return out.select(
+        "event_type",
+        "day",
+        F.round(F.col("metric"), 6).alias("metric"),
+        "base_mean",
+        "base_std",
+        "n_baseline",
+        "drift",
+    ).orderBy("event_type", "day")

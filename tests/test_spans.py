@@ -70,3 +70,33 @@ def test_short_docs_emit_nothing_and_params_validate(spark):
         _rows(spark, df_small, k=1)
     with pytest.raises(ValueError):
         _rows(spark, df_small, k=3, min_count=1)
+
+
+def test_rolling_drift_flags(spark):
+    from data_quality_automated_evaluator_spark.operators.drift import (
+        rolling_drift_flags,
+    )
+
+    # steady series with one planted spike at t=10, plus a constant
+    # series (std 0 -> never flags) and a warm-up check
+    rows = [("a", t, 10.0 + (t % 3) * 0.1) for t in range(15)]
+    rows[10] = ("a", 10, 50.0)          # spike
+    rows += [("b", t, 5.0) for t in range(6)]        # constant
+    rows += [("c", 0, 1.0), ("c", 1, 99.0)]          # too little history
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    out = rolling_drift_flags(df, "v", "t", ["g"], window=5, z=3.0)
+    flagged = {(r["g"], r["t"]) for r in out.collect() if r["drift"]}
+    assert ("a", 10) in flagged
+    assert not any(g == "b" for g, _ in flagged)     # zero-std guard
+    assert not any(g == "c" for g, _ in flagged)     # warm-up guard
+    # the spike itself must not poison its own baseline (excluded frame):
+    # t=11..14 compare against a window CONTAINING the spike -> huge std
+    # -> no false flags after the spike
+    assert flagged == {("a", 10)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rolling_drift_flags(df, "v", "t", ["g"], window=0)
+    with _pytest.raises(ValueError):
+        rolling_drift_flags(df, "v", "t", ["g"], min_periods=1)
