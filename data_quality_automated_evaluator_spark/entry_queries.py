@@ -2107,3 +2107,43 @@ def drift_flags_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_baseline",
         "drift",
     ).orderBy("event_type", "day")
+
+
+def _profile_oracle_events() -> str:
+    """UNION-ALL oracle mirroring operators/profile.profile_table over
+    the events table (same metrics, same double casts)."""
+    pieces = []
+
+    def add(col: str, metric: str, expr: str) -> None:
+        pieces.append(
+            f"SELECT '{col}' AS \"column\", '{metric}' AS metric, "
+            f"CAST({expr} AS DOUBLE) AS value FROM events"
+        )
+
+    numeric = {"event_id", "user_id", "value"}
+    atomic = numeric | {"ts", "event_type", "props"}
+    for c in ["event_id", "ts", "user_id", "event_type", "value", "props"]:
+        add(c, "n_nonnull", f"count({c})")
+        add(c, "n_null", f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)")
+        if c in atomic:
+            add(c, "n_distinct", f"count(DISTINCT {c})")
+        if c in numeric:
+            add(c, "min", f"round(CAST(min({c}) AS DOUBLE), 6)")
+            add(c, "max", f"round(CAST(max({c}) AS DOUBLE), 6)")
+            add(c, "mean", f"round(avg({c}), 6)")
+        elif c == "ts":
+            add(c, "min", f"epoch(min({c}))")
+            add(c, "max", f"epoch(max({c}))")
+    return "\nUNION ALL\n".join(pieces) + '\nORDER BY "column", metric'
+
+
+@register("profile_events", oracle=_profile_oracle_events())
+def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column profiling (null counts, cardinality, numeric /
+    timestamp ranges) in ONE aggregation pass + stack unpivot — the
+    generic schema-drift / ingestion-break detector
+    (operators/profile.profile_table)."""
+    from .operators.profile import profile_table
+
+    events = _t(spark, sf_dir, "events")
+    return profile_table(events).orderBy("column", "metric")
