@@ -2147,3 +2147,152 @@ def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = _t(spark, sf_dir, "events")
     return profile_table(events).orderBy("column", "metric")
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction + URL/domain stats (operators/html.py)
+# ---------------------------------------------------------------------------
+
+# synthesized-markup token stream: ONE spec renders both the Spark
+# Column and the DuckDB expression, so the fixture construction cannot
+# drift between engines. Tokens: ("lit", s) literal, ("id",) doc_id as
+# string, ("mod", n) doc_id % n, ("body",) the text-derived paragraph.
+_HTML_TOKENS: list[tuple] = [
+    ("lit", '<!DOCTYPE html><html><head><title>Doc '),
+    ("id",),
+    ("lit", ' &amp; co</title><style>p{color:red;font-size:10px}</style>'
+            '<script type="text/javascript">if(a<b){x="</div>";}</script>'
+            '</head><body><!-- build '),
+    ("id",),
+    ("lit", ' --><h1>Title &lt;'),
+    ("id",),
+    ("lit", '&gt;</h1><p>'),
+    ("body",),
+    ("lit", '</p><div class="c">second &quot;block&quot; &#39;q&#39;</div>'
+            '<a href="https://ex'),
+    ("mod", 5),
+    ("lit", '.example.com/p?q='),
+    ("id",),
+    ("lit", '">link '),
+    ("id",),
+    ("lit", '</a><ul><li>item&nbsp;one</li><li>item '),
+    ("id",),
+    ("lit", ' two</li></ul></body></html>'),
+]
+
+
+def _html_spark_col() -> F.Column:
+    did = F.col("doc_id").cast("string")
+    sub = F.substring("text", 1, 120)
+    body = F.when(
+        F.col("doc_id") % 3 == 0, F.regexp_replace(sub, " ", "<br>")
+    ).otherwise(sub)
+    parts = []
+    for tok in _HTML_TOKENS:
+        if tok[0] == "lit":
+            parts.append(F.lit(tok[1]))
+        elif tok[0] == "id":
+            parts.append(did)
+        elif tok[0] == "mod":
+            parts.append((F.col("doc_id") % tok[1]).cast("string"))
+        else:
+            parts.append(body)
+    return F.concat(*parts)
+
+
+def _html_duck_expr() -> str:
+    body = (
+        "CASE WHEN doc_id % 3 = 0 THEN replace(substr(text, 1, 120), ' ', "
+        "'<br>') ELSE substr(text, 1, 120) END"
+    )
+    parts = []
+    for tok in _HTML_TOKENS:
+        if tok[0] == "lit":
+            parts.append("'" + tok[1].replace("'", "''") + "'")
+        elif tok[0] == "id":
+            parts.append("CAST(doc_id AS VARCHAR)")
+        elif tok[0] == "mod":
+            parts.append(f"CAST(doc_id % {tok[1]} AS VARCHAR)")
+        else:
+            parts.append(body)
+    return " || ".join(parts)
+
+
+def _html_extract_oracle() -> str:
+    from .operators.html import strip_oracle_expr
+
+    return f"""
+    WITH src AS (
+      SELECT doc_id, {_html_duck_expr()} AS html
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id, {strip_oracle_expr('html')} AS text_clean
+    FROM src ORDER BY doc_id
+    """
+
+
+@register("html_extract_documents", oracle=_html_extract_oracle())
+def html_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET-style HTML → text: markup synthesized deterministically from
+    documents (script/style/comment bodies, block tags, entity subset,
+    <br> paragraphs on every 3rd doc), stripped by the shared rule
+    chain (operators/html.py). Map-only JVM regexp chain — the plan is
+    one Project over the scan; DuckDB runs the identical chain,
+    string-exact parity."""
+    from .operators.html import html_to_text
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter("doc_id < 300")
+        .select("doc_id", _html_spark_col().alias("html"))
+    )
+    return (
+        html_to_text(docs, "html", "text_clean")
+        .select("doc_id", "text_clean")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "url_domain_stats_documents",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' see https://ex' || CAST(doc_id % 5 AS VARCHAR) ||
+             '.example.com/p/' || CAST(doc_id AS VARCHAR) ||
+             ' and http://SITE' || CAST(doc_id % 3 AS VARCHAR) ||
+             '.org/x?y=1 done' AS text
+      FROM documents
+    ),
+    urls AS (
+      SELECT doc_id,
+             lower(regexp_extract(u, '^https?://([^/:?#]+)', 1)) AS domain
+      FROM aug, UNNEST(regexp_extract_all(
+        text, 'https?://[^ \t\n\r"''<>()\[\]]+')) AS t(u)
+    )
+    SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM urls WHERE domain <> '' GROUP BY domain ORDER BY domain
+    """,
+)
+def url_domain_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL stats over documents with deterministically
+    planted links (mixed-case host tests lowercasing): map-side
+    extract/explode → ONE hash aggregation keyed by domain
+    (operators/html.url_domain_stats)."""
+    from .operators.html import url_domain_stats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://ex"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" and http://SITE"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".org/x?y=1 done"),
+        ).alias("text"),
+    )
+    return url_domain_stats(docs).orderBy("domain")
