@@ -2296,3 +2296,24 @@ def url_domain_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return url_domain_stats(docs).orderBy("domain")
+
+
+def _weighted_take_oracle() -> str:
+    from .operators.sampling import weighted_take_oracle_sql
+
+    return weighted_take_oracle_sql(
+        "documents", 120, "n_chars", "doc_id, n_chars"
+    )
+
+
+@register("weighted_sample_documents", oracle=_weighted_take_oracle())
+def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-biased deterministic sampling: 120 docs drawn without
+    replacement with probability ∝ n_chars (Efraimidis–Spirakis
+    exponential race on md5-derived uniforms;
+    operators/sampling.weighted_take). Global bottom-n plans as
+    TakeOrderedAndProject — per-partition heaps, no full sort."""
+    from .operators.sampling import weighted_take
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_take(docs, 120, "n_chars").orderBy("doc_id")

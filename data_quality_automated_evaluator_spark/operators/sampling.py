@@ -178,6 +178,66 @@ def balanced_mix_oracle_sql(
     """
 
 
+def weighted_take_score_expr(weight_col: str, key_col: str = "doc_id") -> str:
+    """Efraimidis–Spirakis priority, engine-portable.
+
+    A-ES draws u ~ U(0,1) per row and keeps the top-n by u^(1/w) —
+    equivalently the BOTTOM-n by -ln(u)/w (exponential race). u here is
+    deterministic: (2·bucket+1)/131072 from the md5 bucket, so the same
+    row gets the same priority on any engine/partitioning/run.
+
+    The one cross-engine hazard is ``ln``: Java's Math.log and libm may
+    disagree in the last ulp, which could flip an ORDER BY on two
+    near-equal priorities. Rounding the score to 9 decimals (score
+    magnitudes here are ≤ ~11/w) collapses ulp noise while keeping
+    astronomically unlikely real ties, which the key tie-break then
+    settles."""
+    u = f"(CAST(2 * {_bucket_expr(key_col)} + 1 AS DOUBLE) / {2 * _BUCKETS})"
+    return f"round(-ln({u}) / CAST({weight_col} AS DOUBLE), 9)"
+
+
+def weighted_take(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """``n`` rows drawn WITHOUT replacement with probability ∝ ``weight_col``
+    (Efraimidis–Spirakis A-ES), deterministic across engines and runs.
+
+    The length-biased sample every curation loop needs (inspect/score
+    documents proportional to their token mass). Plan shape: the
+    priority is computed inside the scan's codegen and the global
+    bottom-n is a TakeOrderedAndProject — per-partition heaps of n, one
+    driver merge, never a full sort or single-reducer shuffle; rows
+    with non-positive/NULL weight are excluded by definition."""
+    score = weighted_take_score_expr(weight_col, key_col)
+    return (
+        df.filter(F.expr(f"{weight_col} > 0"))
+        .withColumn("_score", F.expr(score))
+        .orderBy(F.col("_score").asc(), F.col(key_col).asc())
+        .limit(n)
+        .drop("_score")
+    )
+
+
+def weighted_take_oracle_sql(
+    table: str,
+    n: int,
+    weight_col: str,
+    select_cols: str,
+    key_col: str = "doc_id",
+) -> str:
+    """DuckDB query matching :func:`weighted_take` row-for-row."""
+    score = weighted_take_score_expr(weight_col, key_col)
+    return f"""
+    SELECT {select_cols} FROM {table}
+    WHERE {weight_col} > 0
+    ORDER BY {score} ASC, {key_col} ASC
+    LIMIT {n}
+    """
+
+
 def stratified_take(
     df: DataFrame,
     n_per_stratum: int,
