@@ -2317,3 +2317,62 @@ def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return weighted_take(docs, 120, "n_chars").orderBy("doc_id")
+
+
+def _snapshot_diff_oracle() -> str:
+    from .operators.diffing import content_digest_expr
+
+    dig = content_digest_expr(["text", "lang", "source", "n_chars"])
+    return f"""
+    WITH old_t AS (
+      SELECT doc_id, text, lang, source, n_chars
+      FROM documents WHERE doc_id < 400
+    ),
+    new_t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+             lang, source, n_chars
+      FROM documents WHERE doc_id < 400 AND doc_id % 10 <> 0
+      UNION ALL
+      SELECT doc_id + 10000, text, lang, source, n_chars
+      FROM documents WHERE doc_id < 30
+    ),
+    od AS (SELECT doc_id, {dig} AS dig FROM old_t),
+    nd AS (SELECT doc_id, {dig} AS dig FROM new_t),
+    j AS (
+      SELECT coalesce(od.doc_id, nd.doc_id) AS doc_id,
+             CASE WHEN od.dig IS NULL THEN 'added'
+                  WHEN nd.dig IS NULL THEN 'removed'
+                  WHEN od.dig <> nd.dig THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM od FULL JOIN nd ON od.doc_id = nd.doc_id
+    )
+    SELECT doc_id, status FROM j WHERE status <> 'unchanged'
+    ORDER BY doc_id
+    """
+
+
+@register("snapshot_diff_documents", oracle=_snapshot_diff_oracle())
+def snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning diff: two snapshots synthesized from documents
+    (every 10th doc removed, every 7th surviving doc's text edited, 30
+    re-keyed docs added) classified added/removed/changed by md5 content
+    digest (operators/diffing.table_diff). The full-outer join shuffles
+    only (key, digest) — payloads collapse map-side."""
+    from .operators.diffing import table_diff
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    old = docs.filter("doc_id < 400")
+    surviving = old.filter("doc_id % 10 != 0").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    added = docs.filter("doc_id < 30").withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    new = surviving.unionByName(added)
+    return table_diff(old, new, ["doc_id"]).orderBy("doc_id")
