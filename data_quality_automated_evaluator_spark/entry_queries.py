@@ -2376,3 +2376,49 @@ def snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new = surviving.unionByName(added)
     return table_diff(old, new, ["doc_id"]).orderBy("doc_id")
+
+
+@register(
+    "rollup_event_stats",
+    oracle="""
+    SELECT coalesce(event_type, '<all>') AS event_type,
+           strftime(coalesce(CAST(date_trunc('day', ts) AS DATE),
+                             DATE '1900-01-01'), '%Y-%m-%d') AS day,
+           CAST(GROUPING(event_type, date_trunc('day', ts)) AS BIGINT)
+             AS level,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS sum_value,
+           round(avg(value), 6) AS avg_value
+    FROM events
+    GROUP BY ROLLUP(event_type, date_trunc('day', ts))
+    ORDER BY level, event_type, day
+    """,
+)
+def rollup_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level OLAP aggregation in ONE pass: Spark's native rollup
+    plans a single Expand + partial/final HashAggregate pair computing
+    (event_type, day), (event_type) and grand-total levels together —
+    at 10^12 rows one scan instead of three. grouping_id() disambiguates
+    rolled-up NULLs from data NULLs (same bitmask as DuckDB GROUPING)."""
+    events = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    return (
+        events.rollup(F.col("event_type"), day.alias("day"))
+        .agg(
+            F.grouping_id().cast("long").alias("level"),
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce(F.col("day").cast("string"), F.lit("1900-01-01")).alias(
+                "day"
+            ),
+            "level",
+            "n",
+            "sum_value",
+            "avg_value",
+        )
+        .orderBy("level", "event_type", "day")
+    )
