@@ -2422,3 +2422,74 @@ def rollup_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level", "event_type", "day")
     )
+
+
+@register(
+    "range_join_events",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (SELECT event_type, avg(n) AS avg_n FROM daily GROUP BY 1),
+    promos AS (
+      SELECT d.event_type, d.day AS start_ts,
+             d.day + INTERVAL 2 DAY AS end_ts
+      FROM daily d JOIN stats s USING (event_type)
+      WHERE d.n > 1.05 * s.avg_n
+    ),
+    j AS (
+      SELECT p.event_type, p.start_ts, e.value
+      FROM promos p JOIN events e
+        ON e.event_type = p.event_type
+       AND e.ts >= p.start_ts AND e.ts < p.end_ts
+    )
+    SELECT event_type, strftime(start_ts, '%Y-%m-%d') AS win_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM j GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join WITHOUT a nested-loop plan: hot-day
+    promo windows (daily count > 1.05x the type's average, 2-day span —
+    overlapping windows exercise multi-match) are bucket-exploded and
+    equi-joined to events on (event_type, day-bucket), exact range
+    predicate as a codegen post-filter (operators/rangejoin). DuckDB's
+    native inequality join is the value oracle."""
+    from .operators.rangejoin import range_join_points
+
+    events = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    day = F.date_trunc("day", F.col("ts"))
+    daily = events.groupBy("event_type", day.alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    stats = daily.groupBy("event_type").agg(F.avg("n").alias("avg_n"))
+    promos = (
+        daily.join(stats, "event_type")
+        .filter(F.col("n") > 1.05 * F.col("avg_n"))
+        .select(
+            "event_type",
+            F.col("day").alias("start_ts"),
+            (F.col("day") + F.expr("INTERVAL 2 DAYS")).alias("end_ts"),
+        )
+    )
+    joined = range_join_points(
+        events,
+        promos,
+        keys=["event_type"],
+        point_ts="ts",
+        start="start_ts",
+        end="end_ts",
+        bucket_width_seconds=86400,
+    )
+    return (
+        joined.groupBy(
+            "event_type", F.date_format("start_ts", "yyyy-MM-dd").alias("win_start")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type", "win_start")
+    )
