@@ -2493,3 +2493,68 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "win_start")
     )
+
+
+@register(
+    "semdedup_embeddings",
+    oracle="""
+    WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (
+      SELECT CAST(vec_id AS INT) AS cell,
+             list_transform(v, x -> round(x, 6)) AS c
+      FROM vecs WHERE vec_id < 4
+    ),
+    a1 AS (
+      SELECT vec_id, v, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY
+               list_sum(list_transform(range(1, 65),
+                 i -> (v[i] - c.c[i]) * (v[i] - c.c[i]))), cell) AS rk
+      FROM vecs, c0 c
+    ),
+    m1 AS (SELECT vec_id, v, cell FROM a1 WHERE rk = 1),
+    c1 AS (
+      SELECT cell, list(round(m, 6) ORDER BY pos) AS c
+      FROM (
+        SELECT cell, i.i AS pos, avg(v[i.i]) AS m
+        FROM m1, (SELECT UNNEST(range(1, 65)) AS i) i
+        GROUP BY cell, i.i
+      ) GROUP BY cell
+    ),
+    a2 AS (
+      SELECT vec_id, v, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY
+               list_sum(list_transform(range(1, 65),
+                 i -> (v[i] - c.c[i]) * (v[i] - c.c[i]))), cell) AS rk
+      FROM vecs, c1 c
+    ),
+    m2 AS (SELECT vec_id, cell, v FROM a2 WHERE rk = 1),
+    pairs AS (
+      SELECT b.cell AS cell, b.vec_id AS vec_id,
+             max(list_cosine_similarity(a.v, b.v)) AS max_sim
+      FROM m2 a JOIN m2 b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT CAST(cell AS INT) AS cell, CAST(vec_id AS BIGINT) AS vec_id,
+           round(max_sim, 6) AS max_sim
+    FROM pairs WHERE max_sim > 0.3
+    ORDER BY cell, vec_id
+    """,
+)
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): k-means the embedding space (k=4,
+    one Lloyd update, same deterministic fit as kmeans_embeddings_2iter),
+    then per-cluster Arrow grouped-map — ONE numpy matmul per cell —
+    marks every vector whose cosine to a lower-id cluster member
+    exceeds tau=0.3 as a semantic duplicate. The DuckDB oracle unrolls
+    the fit CTEs and re-derives the dropped set with
+    list_cosine_similarity (operators/semdedup)."""
+    from .operators.kmeans import kmeans_fit
+    from .operators.semdedup import semantic_dedup_dropped
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(emb, k=4, iters=1)
+    dropped = semantic_dedup_dropped(emb, centroids, tau=0.3)
+    return dropped.select(
+        "cell", "vec_id", F.round("max_sim", 6).alias("max_sim")
+    ).orderBy("cell", "vec_id")
