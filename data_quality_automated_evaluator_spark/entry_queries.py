@@ -14,7 +14,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators.dedup import fingerprint_oracle_sql as _fp_oracle
@@ -2255,7 +2255,7 @@ def html_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "url_domain_stats_documents",
-    oracle="""
+    oracle=r"""
     WITH aug AS (
       SELECT doc_id,
              text || ' see https://ex' || CAST(doc_id % 5 AS VARCHAR) ||
@@ -2558,3 +2558,128 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dropped.select(
         "cell", "vec_id", F.round("max_sim", 6).alias("max_sim")
     ).orderBy("cell", "vec_id")
+
+
+def _conv_features_oracle(path: str) -> str:
+    return f"""
+    WITH t AS (
+      SELECT conv_id, turn_idx, role, tool, text, ts,
+             lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS prev_role
+      FROM read_parquet('{path}')
+    )
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(count(DISTINCT role) AS BIGINT) AS n_roles,
+           round(coalesce(
+             avg(CASE WHEN prev_role IS NULL THEN NULL
+                      WHEN role <> prev_role THEN 1.0 ELSE 0.0 END), 0.0),
+             6) AS alternation_rate,
+           round(avg(CASE WHEN tool IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+             AS tool_rate,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(date_part('epoch', max(ts) - min(ts)) AS BIGINT)
+             AS duration_sec
+    FROM t GROUP BY conv_id ORDER BY conv_id
+    """
+
+
+@register(
+    "conv_features_transcripts",
+    oracle=None,  # bound below once the fixture path is known
+)
+def conv_features_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level features over the transcripts fixture in ONE
+    shuffle: a lag window partitioned by conv_id (role-alternation rate
+    needs turn order) feeds the same groupBy — Spark plans a single
+    Exchange on conv_id shared by the window sort and the aggregation.
+    n_roles is exact (roles are a tiny enum), duration from ts extrema."""
+    from .testdata import write_transcripts_parquet
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    t = spark.read.parquet(FIXTURE_TRANSCRIPTS)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = t.withColumn("prev_role", F.lag("role").over(w))
+    return (
+        t.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.count_distinct("role").alias("n_roles"),
+            F.round(
+                F.coalesce(
+                    F.avg(
+                        F.when(F.col("prev_role").isNull(), None)
+                        .when(F.col("role") != F.col("prev_role"), 1.0)
+                        .otherwise(0.0)
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("alternation_rate"),
+            F.round(
+                F.avg(F.when(F.col("tool").isNotNull(), 1.0).otherwise(0.0)), 6
+            ).alias("tool_rate"),
+            F.sum(F.length("text")).alias("total_chars"),
+            # ts is TIMESTAMP_NTZ: subtracting yields a day-time interval,
+            # which casts to whole seconds without any session-tz epoch
+            # conversion (the driver-tz trap a unix_timestamp round-trip
+            # would hit).
+            (F.max("ts") - F.min("ts"))
+            .cast("interval day to second")
+            .cast("long")
+            .alias("duration_sec"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+ORACLES["conv_features_transcripts"] = _conv_features_oracle(FIXTURE_TRANSCRIPTS)
+
+
+def _turn_dedup_oracle(path: str) -> str:
+    return f"""
+    WITH t AS (SELECT conv_id, turn_idx, text FROM read_parquet('{path}')),
+    g AS (
+      SELECT md5(text) AS text_md5,
+             count(*) AS n_total,
+             count(DISTINCT conv_id) AS n_convs,
+             min(conv_id) AS first_conv
+      FROM t GROUP BY 1
+    )
+    SELECT text_md5, CAST(n_total AS BIGINT) AS n_total,
+           CAST(n_convs AS BIGINT) AS n_convs, first_conv
+    FROM g WHERE n_convs > 1
+    ORDER BY text_md5
+    """
+
+
+@register(
+    "turn_dedup_transcripts",
+    oracle=None,  # bound below
+)
+def turn_dedup_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-conversation repeated turns (boilerplate replies reused by
+    many conversations — the turn-granular analog of document dedup):
+    digest-groupBy on md5(text), keep groups spanning >1 conv. The text
+    itself never shuffles — only the 32-char digest and tiny counters;
+    at 10^12 turns this is the same uniform hash-shuffle shape as
+    dedup_exact_documents."""
+    from .testdata import write_transcripts_parquet
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    t = spark.read.parquet(FIXTURE_TRANSCRIPTS)
+    return (
+        t.select(F.md5(F.col("text").cast("binary")).alias("text_md5"),
+                 "conv_id")
+        .groupBy("text_md5")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count_distinct("conv_id").alias("n_convs"),
+            F.min("conv_id").alias("first_conv"),
+        )
+        .filter(F.col("n_convs") > 1)
+        .orderBy("text_md5")
+    )
+
+
+ORACLES["turn_dedup_transcripts"] = _turn_dedup_oracle(FIXTURE_TRANSCRIPTS)
