@@ -229,6 +229,20 @@ def _concurrent_pair_secs(
 
 
 def main() -> None:
+    # Everything the bench body (Spark, py4j, data generators) might write
+    # to stdout goes to stderr instead; ONLY the final JSON line reaches
+    # the real stdout (restored in the epilogue below). The driver parses
+    # the last line of a 2000-char stdout tail — any stray print risks
+    # the graded artifact.
+    real_stdout, sys.stdout = sys.stdout, sys.stderr
+    try:
+        result, line = _bench_body()
+    finally:
+        sys.stdout = real_stdout
+    print(line)
+
+
+def _bench_body() -> tuple[dict, str]:
     queries_sec: dict[str, float] = {}
     result: dict = {"unit": "sec", "sf": float(SF_DIR.rstrip("/").split("sf")[-1])}
 
@@ -381,33 +395,62 @@ def main() -> None:
     full["scaling"] = scaling_detail
     with open(os.path.join(_HERE, "BENCH_full.json"), "w") as f:
         json.dump(full, f, indent=1)
-    # stdout contract: EXACTLY ONE compact JSON line, ≤ ~1800 chars —
-    # the driver records only the last 2000 chars of stdout and parses
-    # the last line within them (r02's 2.4 KB line got its head cut).
-    # Degrade gracefully rather than ever exceed the budget: first strip
-    # redundant table suffixes from query names (full names stay in
-    # BENCH_full.json), then drop precision, then point at the sidecar.
+    # stdout contract: EXACTLY ONE compact JSON line — the driver records
+    # only the last 2000 chars of stdout and parses the last line within
+    # them (r02's 2.4 KB line got its head cut → parsed:null). The JSON
+    # line is the LAST thing on stdout, so the whole line survives as
+    # long as it is ≤ ~1950 chars. Degrade gracefully rather than ever
+    # exceed the budget — the full queries map is the graded record, so
+    # shed redundant pipeline/scaling fields (all preserved in
+    # BENCH_full.json) BEFORE touching query timings; then strip
+    # redundant table suffixes from query names, then drop precision,
+    # and only as a last resort point at the sidecar.
     def _short_names(qs: dict) -> dict:
         import re
 
         out: dict = {}
         for k, v in qs.items():
-            s = re.sub(r"_(documents|events|orders|transcripts|daily)$", "", k)
+            s = re.sub(
+                r"_(documents|events|orders|transcripts|daily|embeddings)$",
+                "", k,
+            )
             out[k if s in out else s] = v
         return out if len(out) == len(qs) else qs
 
+    def _slim_blocks() -> None:
+        # value == pipeline turns_per_sec; cold time + 8→32 context live
+        # in the sidecar
+        result["pipeline"] = {
+            "n_turns": n_turns,
+            f"local[{CPUS}]_sec": round(pipe_sec, 3),
+        }
+        if scaling:
+            result["scaling"] = {
+                k: scaling[k]
+                for k in (
+                    "target", "eff_2_8", "eff_4_16",
+                    "hw_norm_2_8", "hw_norm_4_16",
+                )
+                if k in scaling
+            }
+
     line = json.dumps(result, separators=(",", ":"))
     for degrade in (
-        lambda: _short_names(queries_sec),
-        lambda: {k: round(v, 2) for k, v in _short_names(queries_sec).items()},
-        lambda: {k: round(v, 1) for k, v in _short_names(queries_sec).items()},
-        lambda: {"see": "BENCH_full.json"},
+        _slim_blocks,
+        lambda: result.update(queries=_short_names(queries_sec)),
+        lambda: result.update(
+            queries={k: round(v, 2) for k, v in _short_names(queries_sec).items()}
+        ),
+        lambda: result.update(
+            queries={k: round(v, 1) for k, v in _short_names(queries_sec).items()}
+        ),
+        lambda: result.update(queries={"see": "BENCH_full.json"}),
     ):
-        if len(line) <= 1800:
+        if len(line) <= 1950:
             break
-        result["queries"] = degrade()
+        degrade()
         line = json.dumps(result, separators=(",", ":"))
-    print(line)
+    return result, line
 
 
 if __name__ == "__main__":
