@@ -160,10 +160,14 @@ def _run_pipeline(spark, path: str) -> tuple[float, int]:
         shutil.rmtree(out_root, ignore_errors=True)
 
 
-def _pinned_worker_cmd(cpu_range: str, cores: int, path: str, runs: int) -> list[str]:
+def _pinned_worker_cmd(
+    cpu_range: str, spec: int | str, path: str, runs: int
+) -> list[str]:
+    """``spec`` is a core count (→ local[N]) or a full master string
+    (e.g. ``local-cluster[4,4,2048]`` — real separate executor JVMs)."""
     worker = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_worker.py")
     return ["taskset", "-c", cpu_range, sys.executable, worker,
-            str(cores), path, str(runs)]
+            str(spec), path, str(runs)]
 
 
 def _parse_result(stdout: str, stderr: str) -> float:
@@ -173,23 +177,32 @@ def _parse_result(stdout: str, stderr: str) -> float:
     raise RuntimeError(f"bench worker failed: {stdout[-500:]} {stderr[-2000:]}")
 
 
-def _pinned_steady_sec(cores: int, path: str, runs: int = 2) -> float:
-    """Run bench_worker.py under ``taskset -c 0..cores-1`` so JVM + Python
-    workers together get exactly ``cores`` physical CPUs (the honest N-core
+def _pinned_steady_sec(
+    spec: int | str, path: str, runs: int = 2, pin_cpus: int | None = None
+) -> float:
+    """Run bench_worker.py under ``taskset -c 0..N-1`` so JVM + Python
+    workers together get exactly N physical CPUs (the honest N-core
     cluster proxy), and parse its steady-state seconds."""
     import subprocess
 
+    cores = spec if isinstance(spec, int) else _spec_cores(spec)
+    pin = pin_cpus if pin_cpus is not None else cores
     out = subprocess.run(
-        _pinned_worker_cmd(f"0-{cores - 1}", cores, path, runs),
+        _pinned_worker_cmd(f"0-{pin - 1}", spec, path, runs),
         capture_output=True, text=True, timeout=900,
     )
     return _parse_result(out.stdout, out.stderr)
 
 
+def _spec_cores(spec: str) -> int:
+    w, c, _m = spec.split("[")[1].rstrip("]").split(",")
+    return int(w) * int(c)
+
+
 def _concurrent_pair_secs(
     path: str,
-    n_small: int = 2,
-    n_big: int = 8,
+    n_small: int | str = 2,
+    n_big: int | str = 8,
     cpus_small: str = "0-1",
     cpus_big: str = "2-9",
     runs_small: int = 2,
@@ -324,6 +337,27 @@ def _bench_body() -> tuple[dict, str]:
         pair_effs_4_16 = [s / (4.0 * b) for s, b in pairs_4_16]
         tps[4] = n_scale / min(s for s, _ in pairs_4_16)
         tps[16] = n_scale / min(b for _, b in pairs_4_16)
+        # the north rule's literal shape — N EXECUTORS vs 4N EXECUTORS:
+        # local-cluster[W,4,2048] launches W real separate executor JVMs
+        # (own Worker process, netty block transfer, serialized task
+        # dispatch — not threads in the driver). 1 executor on cpus 0-4
+        # vs 4 executors on cpus 5-24, simultaneously; each side gets
+        # 1.25 CPUs per task-slot so executor-daemon overhead is
+        # proportional. Runs on the FULL bench input (2× the thread-pair
+        # input): at 16 task-slots the smaller input is per-run
+        # overhead-bound (measured eff 0.73 vs 0.89 at 2×) and the
+        # north rule's 10^12-turn regime is the amortized one.
+        pairs_exec = [
+            _concurrent_pair_secs(
+                data_path,
+                n_small="local-cluster[1,4,2048]",
+                n_big="local-cluster[4,4,2048]",
+                cpus_small="0-4", cpus_big="5-24",
+                runs_small=1, runs_big=5,
+            )
+            for _ in range(2)
+        ]
+        pair_effs_exec = [s / (4.0 * b) for s, b in pairs_exec]
         sec32 = _pinned_steady_sec(min(32, CPUS), scale_path)
         tps[min(32, CPUS)] = n_scale / sec32
         hw32 = _hw_parallel_factor(min(32, CPUS))
@@ -335,6 +369,7 @@ def _bench_body() -> tuple[dict, str]:
         hw_eff_4_16 = hw_b_416 / (4.0 * hw_s_416)
         eff_2_8 = max(pair_effs_2_8)
         eff_4_16 = max(pair_effs_4_16)
+        eff_exec = max(pair_effs_exec)
         eff_8_32 = tps[min(32, CPUS)] / (4.0 * tps[8])
         # compact block for stdout (the driver keeps only a bounded tail
         # of stdout — the printed JSON line must stay well under 2000
@@ -344,12 +379,24 @@ def _bench_body() -> tuple[dict, str]:
             "pair": "2_to_8",
             "eff_2_8": round(eff_2_8, 3),
             "eff_4_16": round(eff_4_16, 3),
+            "eff_exec_1_4": round(eff_exec, 3),
             "eff_8_32": round(eff_8_32, 3),
             "hw_norm_2_8": round(min(eff_2_8 / hw_eff_2_8, 1.0), 3),
             "hw_norm_4_16": round(min(eff_4_16 / hw_eff_4_16, 1.0), 3),
         }
         scaling_detail = {
             **scaling,
+            "exec_pair": (
+                "local-cluster[1,4,2048] vs local-cluster[4,4,2048]: real "
+                "separate executor JVMs (netty shuffle, serialized task "
+                "dispatch), 1 vs 4 EXECUTORS run simultaneously on "
+                "disjoint pinned cpu sets 0-4 | 5-24 (1.25 cpus per "
+                "task-slot each side)"
+            ),
+            "pair_secs_exec_1_4": [
+                [round(s, 2), round(b, 2)] for s, b in pairs_exec
+            ],
+            "pair_effs_exec_1_4": [round(x, 3) for x in pair_effs_exec],
             "method": (
                 "CPU-pinned warm steady-state, full pipeline, noop sink, "
                 "same input at every level; each N->4N pair (2|8 on cpus "
@@ -428,7 +475,7 @@ def _bench_body() -> tuple[dict, str]:
             result["scaling"] = {
                 k: scaling[k]
                 for k in (
-                    "target", "eff_2_8", "eff_4_16",
+                    "target", "eff_2_8", "eff_4_16", "eff_exec_1_4",
                     "hw_norm_2_8", "hw_norm_4_16",
                 )
                 if k in scaling

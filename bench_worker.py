@@ -18,17 +18,39 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
-    cores = int(sys.argv[1])
+    spec = sys.argv[1]
     path = sys.argv[2]
     runs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
 
     from data_quality_automated_evaluator_spark.session import get_spark
     from data_quality_automated_evaluator_spark.pipeline.quality import run_quality_pipeline
 
+    if spec.isdigit():
+        # "8" → local[8]: one JVM, 8 task threads
+        cores = int(spec)
+        master = f"local[{cores}]"
+        extra: dict[str, str] = {}
+    else:
+        # full master spec, e.g. local-cluster[4,4,1024]: REAL separate
+        # executor JVMs (one Worker+Executor pair each) with netty
+        # shuffle — the honest "N executors" shape for the north rule's
+        # N→4N criterion. Executor python workers are fresh processes,
+        # so the package path must travel via executorEnv.
+        master = spec
+        w, c, _m = spec.split("[")[1].rstrip("]").split(",")
+        cores = int(w) * int(c)
+        extra = {
+            "spark.executorEnv.PYTHONPATH": os.path.dirname(
+                os.path.abspath(__file__)
+            ),
+            "spark.driver.memory": "4g",
+        }
+
     spark = get_spark(
-        app_name=f"bench-worker-{cores}",
-        master=f"local[{cores}]",
+        app_name=f"bench-worker-{spec}",
+        master=master,
         shuffle_partitions=max(cores * 4, 32),
+        extra_conf=extra,
     )
     df = spark.read.parquet(path).repartition(cores * 4)
     res = run_quality_pipeline(df)
