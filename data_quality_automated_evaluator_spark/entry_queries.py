@@ -2683,3 +2683,397 @@ def turn_dedup_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["turn_dedup_transcripts"] = _turn_dedup_oracle(FIXTURE_TRANSCRIPTS)
+
+
+# ---------------------------------------------------------------------------
+# Published web-filter families (Gopher / C4) over documents — map-only
+# ---------------------------------------------------------------------------
+
+# Shared DuckDB construction of the deterministically augmented multi-line
+# document (mirror of functions/webfilter.augmented_lines — the synthetic
+# documents table is single-line, so line/sentence filters need this):
+_AUG_DOCS_CTE = r"""
+    d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+    wl AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+               AS words,
+             5 + doc_id % 4 AS per
+      FROM d
+    ),
+    base AS (
+      SELECT doc_id, (i - 1) // per AS line_no,
+             string_agg(words[CAST(i AS INT)], ' ' ORDER BY i) AS line
+      FROM wl, UNNEST(range(1, len(words) + 1)) AS r(i)
+      GROUP BY doc_id, per, (i - 1) // per
+    ),
+    bl AS (
+      SELECT doc_id, list(line ORDER BY line_no) AS base
+      FROM base GROUP BY doc_id
+    ),
+    aug AS (
+      SELECT w.doc_id, w.words,
+        coalesce(b.base, CAST([] AS VARCHAR[]))
+        || CASE WHEN w.doc_id % 3 = 0 THEN [coalesce(b.base[1], '')]
+                ELSE CAST([] AS VARCHAR[]) END
+        || CASE WHEN w.doc_id % 5 = 0
+                THEN ['- ' || coalesce(w.words[1], 'item')]
+                ELSE CAST([] AS VARCHAR[]) END
+        || CASE WHEN w.doc_id % 7 = 0
+                THEN [coalesce(w.words[1], 'item') || '...']
+                ELSE CAST([] AS VARCHAR[]) END
+        || CASE WHEN w.doc_id % 11 = 0 THEN ['lorem ipsum dolor sit amet.']
+                ELSE CAST([] AS VARCHAR[]) END
+        || CASE WHEN w.doc_id % 13 = 0 THEN ['function() { return 0; }']
+                ELSE CAST([] AS VARCHAR[]) END
+        || CASE WHEN w.doc_id % 2 = 0
+                THEN ['This augmented sentence ends properly. It has punctuation. Indeed it does.']
+                ELSE CAST([] AS VARCHAR[]) END
+        AS lines
+      FROM wl w LEFT JOIN bl b USING (doc_id)
+    )
+"""
+
+
+def _aug_doc_frame(spark: SparkSession, sf_dir: str):
+    from .functions.webfilter import augmented_lines
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    return d.select(
+        "doc_id",
+        words.alias("words"),
+        augmented_lines(F.col("text"), F.col("doc_id")).alias("lines"),
+    )
+
+
+@register(
+    "gopher_repetition_documents",
+    oracle=r"""
+    WITH
+""" + _AUG_DOCS_CTE + r""",
+    chars AS (
+      SELECT doc_id, length(array_to_string(lines, chr(10))) AS doc_chars,
+             CAST(len(lines) AS BIGINT) AS n_lines
+      FROM aug
+    ),
+    lc AS (
+      SELECT doc_id, line, count(*) AS c
+      FROM aug, UNNEST(lines) AS t(line) GROUP BY 1, 2
+    ),
+    ls AS (
+      SELECT doc_id,
+             coalesce(sum(CASE WHEN c >= 2 THEN c END), 0) AS dup_elems,
+             coalesce(sum(CASE WHEN c >= 2 THEN c * length(line) END), 0)
+               AS dup_chars
+      FROM lc GROUP BY doc_id
+    ),
+    g2 AS (SELECT doc_id, array_to_string(words[CAST(i AS INT):CAST(i+1 AS INT)], ' ') AS g
+           FROM wl, UNNEST(range(1, len(words))) AS r(i) WHERE len(words) >= 2),
+    g3 AS (SELECT doc_id, array_to_string(words[CAST(i AS INT):CAST(i+2 AS INT)], ' ') AS g
+           FROM wl, UNNEST(range(1, len(words)-1)) AS r(i) WHERE len(words) >= 3),
+    g4 AS (SELECT doc_id, array_to_string(words[CAST(i AS INT):CAST(i+3 AS INT)], ' ') AS g
+           FROM wl, UNNEST(range(1, len(words)-2)) AS r(i) WHERE len(words) >= 4),
+    g5 AS (SELECT doc_id, array_to_string(words[CAST(i AS INT):CAST(i+4 AS INT)], ' ') AS g
+           FROM wl, UNNEST(range(1, len(words)-3)) AS r(i) WHERE len(words) >= 5),
+    t2 AS (SELECT doc_id, c * length(g) AS top_chars FROM (
+             SELECT doc_id, g, count(*) c,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY count(*) DESC, g ASC) rn
+             FROM g2 GROUP BY doc_id, g) WHERE rn = 1),
+    t3 AS (SELECT doc_id, c * length(g) AS top_chars FROM (
+             SELECT doc_id, g, count(*) c,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY count(*) DESC, g ASC) rn
+             FROM g3 GROUP BY doc_id, g) WHERE rn = 1),
+    t4 AS (SELECT doc_id, c * length(g) AS top_chars FROM (
+             SELECT doc_id, g, count(*) c,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY count(*) DESC, g ASC) rn
+             FROM g4 GROUP BY doc_id, g) WHERE rn = 1),
+    d5 AS (SELECT doc_id,
+                  coalesce(sum(CASE WHEN c >= 2 THEN c * length(g) END), 0) AS d5c
+           FROM (SELECT doc_id, g, count(*) c FROM g5 GROUP BY doc_id, g)
+           GROUP BY doc_id)
+    SELECT ch.doc_id,
+           ch.n_lines,
+           round(ls.dup_elems / nullif(ch.n_lines, 0), 6) AS dup_line_frac,
+           round(ls.dup_chars / nullif(ch.doc_chars, 0), 6)
+             AS dup_line_char_frac,
+           round(coalesce(t2.top_chars, 0) / nullif(ch.doc_chars, 0), 6)
+             AS top_2gram_char_frac,
+           round(coalesce(t3.top_chars, 0) / nullif(ch.doc_chars, 0), 6)
+             AS top_3gram_char_frac,
+           round(coalesce(t4.top_chars, 0) / nullif(ch.doc_chars, 0), 6)
+             AS top_4gram_char_frac,
+           round(coalesce(d5.d5c, 0) / nullif(ch.doc_chars, 0), 6)
+             AS dup_5gram_char_frac
+    FROM chars ch
+    JOIN ls USING (doc_id)
+    LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+    LEFT JOIN t4 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+    ORDER BY ch.doc_id
+    """,
+)
+def gopher_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021 App. A) per document:
+    duplicate-line fractions, most-frequent 2/3/4-gram character
+    fractions, duplicated-5-gram character fraction. Every metric comes
+    from higher-order array functions in ONE map-only projection — a
+    single sorted-run `aggregate` pass replaces explode→groupBy, so the
+    metrics add NO Exchange (verified plan: Projects straight over the
+    FileScan; the one Exchange present is the final orderBy that exists
+    only for deterministic oracle comparison). That is the shape a
+    100 TB repetition filter needs: embarrassingly parallel, zero
+    shuffle, zero Python."""
+    from .functions.webfilter import gopher_repetition_columns
+
+    d = _aug_doc_frame(spark, sf_dir)
+    doc_chars = F.length(F.array_join("lines", "\n"))
+    cols = gopher_repetition_columns(F.col("lines"), F.col("words"), doc_chars)
+    return d.select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()]
+    ).orderBy("doc_id")
+
+
+@register(
+    "gopher_quality_documents",
+    oracle=r"""
+    WITH
+""" + _AUG_DOCS_CTE + r"""
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           round(list_sum(list_transform(words, x -> length(x)))
+                 / nullif(len(words), 0), 6) AS mean_word_len,
+           round(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+                 / nullif(len(words), 0), 6) AS alpha_word_frac,
+           CAST(len(list_filter(words, x -> list_contains(
+                 ['the','be','to','of','and','that','have','with'],
+                 lower(x)))) AS BIGINT) AS stop_word_hits,
+           round(len(list_filter(lines, l -> starts_with(l, '- ')
+                 OR starts_with(l, '* ') OR starts_with(l, '•')))
+                 / nullif(len(lines), 0), 6) AS bullet_line_frac,
+           round(len(list_filter(lines, l -> ends_with(l, '...')
+                 OR ends_with(l, '…'))) / nullif(len(lines), 0), 6)
+             AS ellipsis_line_frac,
+           round((length(array_to_string(lines, chr(10)))
+                  - length(replace(array_to_string(lines, chr(10)), '#', ''))
+                  + (length(array_to_string(lines, chr(10)))
+                     - length(replace(array_to_string(lines, chr(10)),
+                                      '...', ''))) / 3)
+                 / nullif(len(words), 0), 6) AS symbol_word_ratio,
+           len(words) >= 50 AND len(words) <= 100000 AS g_words,
+           round(list_sum(list_transform(words, x -> length(x)))
+                 / nullif(len(words), 0), 6) BETWEEN 3 AND 10
+             AS g_mean_word_len,
+           round(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+                 / nullif(len(words), 0), 6) >= 0.8 AS g_alpha,
+           len(list_filter(words, x -> list_contains(
+                 ['the','be','to','of','and','that','have','with'],
+                 lower(x)))) >= 2 AS g_stops,
+           round(len(list_filter(lines, l -> starts_with(l, '- ')
+                 OR starts_with(l, '* ') OR starts_with(l, '•')))
+                 / nullif(len(lines), 0), 6) <= 0.9 AS g_bullets,
+           round(len(list_filter(lines, l -> ends_with(l, '...')
+                 OR ends_with(l, '…'))) / nullif(len(lines), 0), 6) <= 0.3
+             AS g_ellipsis,
+           round((length(array_to_string(lines, chr(10)))
+                  - length(replace(array_to_string(lines, chr(10)), '#', ''))
+                  + (length(array_to_string(lines, chr(10)))
+                     - length(replace(array_to_string(lines, chr(10)),
+                                      '...', ''))) / 3)
+                 / nullif(len(words), 0), 6) <= 0.1 AS g_symbols
+    FROM aug ORDER BY doc_id
+    """,
+)
+def gopher_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality filters per document: word-count / mean-word-length
+    bounds, alphabetic-word fraction, stop-word presence, bullet and
+    ellipsis line fractions, symbol-to-word ratio — metrics plus the
+    published-threshold boolean flags, all from higher-order array
+    functions in one map-only projection (no Exchange, no Python)."""
+    from .functions.webfilter import gopher_quality_columns
+
+    d = _aug_doc_frame(spark, sf_dir)
+    cols = gopher_quality_columns(F.col("lines"), F.col("words"))
+    return d.select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()]
+    ).orderBy("doc_id")
+
+
+@register(
+    "c4_filters_documents",
+    oracle=r"""
+    WITH
+""" + _AUG_DOCS_CTE + r"""
+    SELECT doc_id,
+           round(len(list_filter(lines, l -> ends_with(l, '.')
+                 OR ends_with(l, '!') OR ends_with(l, '?')
+                 OR ends_with(l, '"'))) / nullif(len(lines), 0), 6)
+             AS term_punct_line_frac,
+           CAST(length(array_to_string(lines, chr(10)))
+                - length(list_aggregate(
+                    list_transform([array_to_string(lines, chr(10))],
+                        s -> replace(replace(replace(s, '.', ''),
+                                             '!', ''), '?', '')), 'min'))
+             AS BIGINT) AS n_sentences,
+           contains(lower(array_to_string(lines, chr(10))), 'lorem ipsum')
+             AS has_lorem,
+           contains(array_to_string(lines, chr(10)), '{') AS has_brace,
+           NOT contains(lower(array_to_string(lines, chr(10))), 'lorem ipsum')
+             AND NOT contains(array_to_string(lines, chr(10)), '{')
+             AND (length(array_to_string(lines, chr(10)))
+                  - length(list_aggregate(
+                      list_transform([array_to_string(lines, chr(10))],
+                          s -> replace(replace(replace(s, '.', ''),
+                                               '!', ''), '?', '')), 'min')))
+                 >= 3 AS c4_keep
+    FROM aug ORDER BY doc_id
+    """,
+)
+def c4_filters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style document filters (Raffel et al. 2019): terminal-punctuation
+    line fraction, sentence count (terminal marks), lorem-ipsum and
+    curly-brace markers, and the keep conjunction. Map-only projection."""
+    from .functions.webfilter import c4_columns
+
+    d = _aug_doc_frame(spark, sf_dir)
+    cols = c4_columns(F.col("lines"))
+    return d.select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()]
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Conversation-level integrity checks over transcripts
+# ---------------------------------------------------------------------------
+
+def _conv_drop_oracle(path: str) -> str:
+    return f"""
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           round(avg(CASE WHEN keep THEN 1.0 ELSE 0.0 END), 6) AS keep_frac,
+           round(avg(CASE WHEN keep THEN 1.0 ELSE 0.0 END), 6) >= 0.6
+             AS conv_keep
+    FROM ({keep_flags_oracle_sql(path)})
+    GROUP BY conv_id ORDER BY conv_id
+    """
+
+
+@register("conv_drop_propagation_transcripts", oracle=None)  # bound below
+def conv_drop_propagation_transcripts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conversation-level verdict propagation: a conversation keeping
+    < 60% of its turns is dropped whole (training on fragments of a
+    mostly-junk dialogue teaches broken structure). The oracle runs the
+    FULL SQL pipeline (including the SQL-trained bigram LM) and
+    aggregates its keep flags — so this row value-checks the
+    propagation on top of the already-oracled per-turn conjunction."""
+    from .pipeline.convchecks import conversation_drop_propagation
+    from .pipeline.quality import labels_frame, run_quality_pipeline
+    from .testdata import write_transcripts_parquet
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    df = spark.read.parquet(FIXTURE_TRANSCRIPTS)
+    labels = labels_frame(run_quality_pipeline(df))
+    return conversation_drop_propagation(labels).orderBy("conv_id")
+
+
+ORACLES["conv_drop_propagation_transcripts"] = _conv_drop_oracle(
+    FIXTURE_TRANSCRIPTS
+)
+
+
+def _agent_loop_oracle(path: str) -> str:
+    return f"""
+    WITH a AS (
+      SELECT conv_id, turn_idx, md5(text) AS h
+      FROM read_parquet('{path}') WHERE role = 'assistant'
+    ),
+    l AS (
+      SELECT conv_id, h,
+             CASE WHEN h = lag(h) OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx)
+                  THEN 1 ELSE 0 END AS consec
+      FROM a
+    ),
+    g AS (
+      SELECT conv_id,
+             CAST(count(*) AS BIGINT) AS n_assistant,
+             CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+             CAST(coalesce(sum(consec), 0) AS BIGINT) AS n_consec_repeat
+      FROM l GROUP BY conv_id
+    )
+    SELECT conv_id, n_assistant, n_distinct, n_consec_repeat,
+           round(1 - n_distinct / n_assistant, 6) AS loop_frac,
+           round(1 - n_distinct / n_assistant, 6) <= 0.5
+             AND n_consec_repeat <= 2 AS loop_ok
+    FROM g ORDER BY conv_id
+    """
+
+
+@register("agent_loop_transcripts", oracle=None)  # bound below
+def agent_loop_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wedged-agent loop detection: consecutive identical assistant
+    turns and the distinct-text deficit per conversation (agents that
+    wedge re-emit the same reply). Texts travel as xxhash64 digests —
+    the conv_id shuffle carries 8 bytes per turn, not transcript
+    bodies. Spark uses xxhash64 and the oracle md5; only equality is
+    consumed, so the counts agree."""
+    from .pipeline.convchecks import agent_loop_stats
+    from .testdata import write_transcripts_parquet
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    df = spark.read.parquet(FIXTURE_TRANSCRIPTS)
+    return agent_loop_stats(df).orderBy("conv_id")
+
+
+ORACLES["agent_loop_transcripts"] = _agent_loop_oracle(FIXTURE_TRANSCRIPTS)
+
+
+def _tool_pairing_oracle(path: str) -> str:
+    return f"""
+    WITH t AS (
+      SELECT conv_id, turn_idx, role,
+             tool IS NOT NULL AS has_tool,
+             lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS prev_role
+      FROM read_parquet('{path}')
+    ),
+    g AS (
+      SELECT conv_id,
+             CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tool,
+             CAST(sum(CASE WHEN role = 'tool'
+                            AND (prev_role IS NULL
+                                 OR prev_role NOT IN ('assistant', 'tool'))
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_tool,
+             CAST(sum(CASE WHEN (role = 'tool') <> has_tool
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_mismatch
+      FROM t GROUP BY conv_id
+    )
+    SELECT conv_id, n_tool, n_orphan_tool, n_tool_mismatch,
+           n_orphan_tool = 0 AND n_tool_mismatch = 0 AS tool_ok
+    FROM g ORDER BY conv_id
+    """
+
+
+@register("tool_pairing_transcripts", oracle=None)  # bound below
+def tool_pairing_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-call protocol validity per conversation: orphaned tool
+    results (no preceding assistant/tool turn) and role↔tool-column
+    mismatches. One lag window + one aggregation sharing the conv_id
+    Exchange."""
+    from .pipeline.convchecks import tool_pairing_stats
+    from .testdata import write_transcripts_parquet
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    df = spark.read.parquet(FIXTURE_TRANSCRIPTS)
+    return tool_pairing_stats(df).orderBy("conv_id")
+
+
+ORACLES["tool_pairing_transcripts"] = _tool_pairing_oracle(FIXTURE_TRANSCRIPTS)
