@@ -89,8 +89,18 @@ def interval_rule_partials(
     ``result`` must carry ``part_date`` (the sink's partition column).
     """
     bucket = truncate_to_interval(F.col("ts"), time_interval).alias("__time_interval")
+    # scrubbed length: the sink materializes it as a tiny int column at
+    # write time so stats/ledger jobs never re-read the text column
+    # (dominant bytes of the written table); backfill over pre-upgrade
+    # partitions falls back to measuring the string
+    length_col = (
+        F.col("n_chars_scrubbed")
+        if "n_chars_scrubbed" in result.columns
+        else F.length("text_scrubbed")
+    )
     aggs = [F.count(F.lit(1)).alias("n_turns"),
-            F.sum(F.col("keep").cast("long")).alias("keep_sum")]
+            F.sum(F.col("keep").cast("long")).alias("keep_sum"),
+            F.sum(length_col.cast("long")).alias("scrubbed_chars_sum")]
     for r in RULE_NAMES:
         aggs.append(F.sum(F.col(r).cast("long")).alias(f"{r}_sum"))
     return result.groupBy("part_date", bucket).agg(*aggs)

@@ -387,7 +387,13 @@ class QualitySink:
         if subset.rdd.getNumPartitions() < parallelism:
             subset = subset.repartition(parallelism)
         result = run_quality_pipeline(subset, thresholds)
-        out = result.select(*OUTPUT_COLUMNS, "part_date")
+        out = result.select(
+            *OUTPUT_COLUMNS,
+            # materialized so stats/ledger aggregations read a 4-byte
+            # column instead of re-scanning the scrubbed text bytes
+            F.length("text_scrubbed").alias("n_chars_scrubbed"),
+            "part_date",
+        )
 
         # one pass writes the combined per-turn artifact (labels + scrub);
         # dynamic partition overwrite keeps partition re-runs idempotent.
@@ -421,16 +427,45 @@ class QualitySink:
         self._sync_partials(spark, time_interval, nonzero_done)
         stats = combine_rule_partials(spark.read.parquet(pdir))
         stats.write.mode("overwrite").parquet(self.stats_dir)
-        metrics = (
-            written.groupBy("part_date")
-            .agg(
-                F.count(F.lit(1)).alias("n_turns"),
-                F.sum(F.col("keep").cast("long")).alias("n_keep"),
-                F.countDistinct("conv_id").alias("n_convs"),
-                F.sum(F.length("text_scrubbed").cast("long")).alias("scrubbed_chars"),
+        # ledger metrics: counts and scrubbed-char sums come from the
+        # partials just written (metadata-sized — #dates × #buckets rows,
+        # never the fact table); only the exact distinct-conversation
+        # count needs the written table, and that scan reads two narrow
+        # dictionary-encoded columns, not the text. mergeSchema guards a
+        # partials tree that predates the scrubbed_chars_sum column.
+        date_sums = {
+            str(r["part_date"]): r
+            for r in (
+                spark.read.option("mergeSchema", "true")
+                .parquet(pdir)
+                .filter(F.col("part_date").isin(pending))
+                .groupBy("part_date")
+                .agg(
+                    F.sum("n_turns").alias("n_turns"),
+                    F.sum("keep_sum").alias("n_keep"),
+                    F.sum("scrubbed_chars_sum").alias("scrubbed_chars"),
+                )
+                .collect()
             )
-            .collect()
-        )
+        }
+        conv_counts = {
+            str(r["part_date"]): r["n_convs"]
+            for r in (
+                written.groupBy("part_date")
+                .agg(F.countDistinct("conv_id").alias("n_convs"))
+                .collect()
+            )
+        }
+        metrics = [
+            {
+                "part_date": d,
+                "n_turns": row["n_turns"],
+                "n_keep": row["n_keep"],
+                "scrubbed_chars": row["scrubbed_chars"] or 0,
+                "n_convs": conv_counts.get(d, 0),
+            }
+            for d, row in date_sums.items()
+        ]
         wall = time.perf_counter() - t0
         total_turns = 0
         total_keep = 0
