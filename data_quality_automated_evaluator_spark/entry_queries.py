@@ -3077,3 +3077,28 @@ def tool_pairing_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["tool_pairing_transcripts"] = _tool_pairing_oracle(FIXTURE_TRANSCRIPTS)
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE tokenizer training (iterative — pytest-golden, rows-only)
+# ---------------------------------------------------------------------------
+
+@register("bpe_train_documents")  # rows-only BY DESIGN: the per-round merge
+# loop is inherently iterative (each round's pair counts depend on the
+# previous merge) — the documented oracle carve-out; tests/test_bpe.py
+# golden-gates the trainer against a pure-Python reference implementation.
+def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 8 BPE merges on the documents corpus and return the merge
+    table (rank, left, right, weighted count). Corpus-sized work happens
+    once (distinct-word counts); each round shuffles only
+    vocabulary-sized pair counts and selects the winner with
+    TakeOrderedAndProject — see operators/bpe.py for the 10^12-token
+    shape."""
+    from .operators.bpe import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, n_merges=8)
+    return spark.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "merge_idx int, left string, right string, weighted_count long",
+    )
