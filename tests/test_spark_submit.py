@@ -32,14 +32,25 @@ import sys
 # the ONLY import path to the library is the --py-files zip
 from data_quality_automated_evaluator_spark.app import main
 
-sys.exit(main([sys.argv[1], "--quality-filter", "--master", "local[4]"]))
+sys.exit(main([sys.argv[1], "--quality-filter", "--master", sys.argv[2]]))
 """
 
 
 @pytest.mark.skipif(
     not os.path.exists(SPARK_SUBMIT), reason="spark-submit not on this box"
 )
-def test_spark_submit_pyfiles_live(tmp_path):
+@pytest.mark.parametrize(
+    "master",
+    [
+        "local[4]",
+        # the north rule verbatim: spark-submit --py-files on a
+        # MULTI-EXECUTOR cluster — two separate executor JVMs fetch the
+        # zip from the driver's file server and their Python workers
+        # import the package from it alone
+        "local-cluster[2,2,1024]",
+    ],
+)
+def test_spark_submit_pyfiles_live(tmp_path, master):
     sys.path.insert(0, REPO)
     from data_quality_automated_evaluator_spark.app import make_pyfiles_zip
 
@@ -65,13 +76,14 @@ def test_spark_submit_pyfiles_live(tmp_path):
         [
             SPARK_SUBMIT,
             "--master",
-            "local[4]",
+            master,
             "--driver-memory",
             "4g",
             "--py-files",
             zip_path,
             str(job_path),
             str(cfg_path),
+            master,
         ],
         cwd=str(tmp_path),
         env=env,
