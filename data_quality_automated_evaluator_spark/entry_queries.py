@@ -3102,3 +3102,150 @@ def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
         "merge_idx int, left string, right string, weighted_count long",
     )
+
+
+def _conv_dedup_oracle(path: str) -> str:
+    return f"""
+    WITH t AS (
+      SELECT conv_id, turn_idx, text FROM read_parquet('{path}')
+      UNION ALL
+      SELECT conv_id || '_replay', turn_idx, text
+      FROM read_parquet('{path}') WHERE conv_id < 'c00000010'
+    ),
+    c AS (
+      SELECT conv_id,
+             md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS conv_digest
+      FROM t GROUP BY conv_id
+    )
+    SELECT conv_digest,
+           CAST(count(*) AS BIGINT) AS n_convs,
+           min(conv_id) AS first_conv
+    FROM c GROUP BY conv_digest HAVING count(*) > 1
+    ORDER BY conv_digest
+    """
+
+
+@register("conv_dedup_transcripts", oracle=None)  # bound below
+def conv_dedup_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-conversation exact dedup: conversations whose ORDERED turn
+    texts are byte-identical (re-logged sessions, replayed agent runs).
+    The conversation digest is md5 over texts joined with an unlikely
+    separator in turn order — computed with array_sort over collected
+    (turn_idx, text) structs so the digest is partitioning-invariant;
+    the second aggregation then shuffles 16-byte digests only. Same
+    two-phase digest shape as document dedup, one level up. A replayed
+    copy of the first 10 conversations is planted (identically in the
+    oracle) so the duplicate groups the operator exists for are
+    actually present and value-checked."""
+    from .testdata import write_transcripts_parquet
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    base = spark.read.parquet(FIXTURE_TRANSCRIPTS).select(
+        "conv_id", "turn_idx", "text"
+    )
+    t = base.unionByName(
+        base.filter(F.col("conv_id") < "c00000010").withColumn(
+            "conv_id", F.concat("conv_id", F.lit("_replay"))
+        )
+    )
+    per_conv = t.groupBy("conv_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("turn_idx", "text"))
+                    ),
+                    lambda s: s["text"],
+                ),
+                "\x1f",
+            ).cast("binary")
+        ).alias("conv_digest")
+    )
+    return (
+        per_conv.groupBy("conv_digest")
+        .agg(
+            F.count("*").alias("n_convs"),
+            F.min("conv_id").alias("first_conv"),
+        )
+        .filter(F.col("n_convs") > 1)
+        .orderBy("conv_digest")
+    )
+
+
+ORACLES["conv_dedup_transcripts"] = _conv_dedup_oracle(FIXTURE_TRANSCRIPTS)
+
+
+def _near_loop_oracle(path: str) -> str:
+    return rf"""
+    WITH a AS (
+      SELECT conv_id, turn_idx,
+             list_distinct(list_filter(
+               regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))
+               AS toks
+      FROM read_parquet('{path}') WHERE role = 'assistant'
+    ),
+    p AS (
+      SELECT conv_id, toks,
+             lag(toks) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS prev
+      FROM a
+    ),
+    j AS (
+      SELECT conv_id,
+             CASE WHEN prev IS NULL THEN NULL
+                  WHEN len(list_distinct(toks || prev)) = 0 THEN NULL
+                  ELSE len(list_intersect(toks, prev))
+                       / len(list_distinct(toks || prev)) END AS jac
+      FROM p
+    )
+    SELECT conv_id,
+           CAST(count(jac) AS BIGINT) AS n_pairs,
+           round(max(jac), 6) AS max_jaccard,
+           CAST(coalesce(sum(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_near_repeat
+    FROM j GROUP BY conv_id ORDER BY conv_id
+    """
+
+
+@register("near_loop_transcripts", oracle=None)  # bound below
+def near_loop_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy agent-loop detection: Jaccard similarity of token SETS
+    between consecutive assistant turns — catches agents that re-emit
+    near-identical replies with minor variation, which exact-digest
+    loop detection (agent_loop_transcripts) misses. One conv_id window
+    carrying small token arrays (assistant turns only), then the same
+    Exchange feeds the aggregation."""
+    from .testdata import write_transcripts_parquet
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    t = spark.read.parquet(FIXTURE_TRANSCRIPTS)
+    a = t.filter(F.col("role") == "assistant").select(
+        "conv_id",
+        "turn_idx",
+        F.array_distinct(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("toks"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    p = a.withColumn("prev", F.lag("toks").over(w))
+    union_size = F.size(F.array_distinct(F.concat("toks", "prev")))
+    jac = (
+        F.when(F.col("prev").isNull(), None)
+        .when(union_size == 0, None)
+        .otherwise(F.size(F.array_intersect("toks", "prev")) / union_size)
+    )
+    return (
+        p.select("conv_id", jac.alias("jac"))
+        .groupBy("conv_id")
+        .agg(
+            F.count("jac").alias("n_pairs"),
+            F.round(F.max("jac"), 6).alias("max_jaccard"),
+            F.coalesce(
+                F.sum((F.col("jac") >= 0.8).cast("long")), F.lit(0)
+            ).alias("n_near_repeat"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+ORACLES["near_loop_transcripts"] = _near_loop_oracle(FIXTURE_TRANSCRIPTS)
