@@ -54,7 +54,13 @@ def main() -> None:
     )
     df = spark.read.parquet(path).repartition(cores * 4)
     res = run_quality_pipeline(df)
-    res.write.format("noop").mode("overwrite").save()  # warm-up
+    # TWO warm-up passes: the first pays JIT + Python-worker + Arrow
+    # spin-up, the second still runs 10-20% slow while the worker pool
+    # finishes warming — and the high-parallelism side has MORE workers
+    # to warm, so a single warmup biases its per-run mean upward and
+    # the N->4N efficiency downward
+    res.write.format("noop").mode("overwrite").save()
+    res.write.format("noop").mode("overwrite").save()
     times = []
     for _ in range(runs):
         t0 = time.perf_counter()

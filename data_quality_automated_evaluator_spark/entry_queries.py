@@ -2827,14 +2827,50 @@ def gopher_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     FileScan; the one Exchange present is the final orderBy that exists
     only for deterministic oracle comparison). That is the shape a
     100 TB repetition filter needs: embarrassingly parallel, zero
-    shuffle, zero Python."""
-    from .functions.webfilter import gopher_repetition_columns
+    shuffle, zero Python.
+
+    The run-stats structs are materialized in an intermediate
+    projection: higher-order folds evaluate interpreted (outside
+    codegen CSE), so a metric referencing ``stats.dup_elems`` AND
+    ``stats.dup_chars`` would otherwise execute the whole fold once
+    per reference (measured ~1.8× the query time)."""
+    from .functions.webfilter import _ngrams, _run_stats
 
     d = _aug_doc_frame(spark, sf_dir)
-    doc_chars = F.length(F.array_join("lines", "\n"))
-    cols = gopher_repetition_columns(F.col("lines"), F.col("words"), doc_chars)
-    return d.select(
-        "doc_id", *[c.alias(n) for n, c in cols.items()]
+    staged = d.select(
+        "doc_id",
+        F.size("lines").cast("bigint").alias("n_lines"),
+        F.length(F.array_join("lines", "\n")).alias("doc_chars"),
+        _run_stats(F.col("lines")).alias("ls"),
+        *[
+            _run_stats(_ngrams(F.col("words"), n)).alias(f"g{n}")
+            for n in (2, 3, 4, 5)
+        ],
+    )
+    safe_chars = F.nullif(F.col("doc_chars"), F.lit(0))
+    return staged.select(
+        "doc_id",
+        "n_lines",
+        F.round(
+            F.col("ls.dup_elems") / F.nullif(F.col("n_lines"), F.lit(0)), 6
+        ).alias("dup_line_frac"),
+        F.round(F.col("ls.dup_chars") / safe_chars, 6).alias(
+            "dup_line_char_frac"
+        ),
+        *[
+            F.round(
+                F.coalesce(
+                    F.col(f"g{n}.best_cnt") * F.length(F.col(f"g{n}.best_val")),
+                    F.lit(0),
+                )
+                / safe_chars,
+                6,
+            ).alias(f"top_{n}gram_char_frac")
+            for n in (2, 3, 4)
+        ],
+        F.round(F.col("g5.dup_chars") / safe_chars, 6).alias(
+            "dup_5gram_char_frac"
+        ),
     ).orderBy("doc_id")
 
 
