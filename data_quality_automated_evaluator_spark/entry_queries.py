@@ -2929,13 +2929,34 @@ def gopher_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds, alphabetic-word fraction, stop-word presence, bullet and
     ellipsis line fractions, symbol-to-word ratio — metrics plus the
     published-threshold boolean flags, all from higher-order array
-    functions in one map-only projection (no Exchange, no Python)."""
+    functions in one map-only projection (no Exchange, no Python).
+    Metrics are STAGED in a first projection and the threshold flags
+    derive from the staged columns — the higher-order filters run
+    interpreted, so computing each metric again inside its flag would
+    double the evaluation cost (same fix as gopher_repetition)."""
     from .functions.webfilter import gopher_quality_columns
 
     d = _aug_doc_frame(spark, sf_dir)
     cols = gopher_quality_columns(F.col("lines"), F.col("words"))
-    return d.select(
-        "doc_id", *[c.alias(n) for n, c in cols.items()]
+    metric_names = [
+        "n_words", "mean_word_len", "alpha_word_frac", "stop_word_hits",
+        "bullet_line_frac", "ellipsis_line_frac", "symbol_word_ratio",
+    ]
+    staged = d.select(
+        "doc_id", *[cols[n].alias(n) for n in metric_names]
+    )
+    return staged.select(
+        "doc_id",
+        *metric_names,
+        ((F.col("n_words") >= 50) & (F.col("n_words") <= 100000)).alias(
+            "g_words"
+        ),
+        F.col("mean_word_len").between(3, 10).alias("g_mean_word_len"),
+        (F.col("alpha_word_frac") >= 0.8).alias("g_alpha"),
+        (F.col("stop_word_hits") >= 2).alias("g_stops"),
+        (F.col("bullet_line_frac") <= 0.9).alias("g_bullets"),
+        (F.col("ellipsis_line_frac") <= 0.3).alias("g_ellipsis"),
+        (F.col("symbol_word_ratio") <= 0.1).alias("g_symbols"),
     ).orderBy("doc_id")
 
 
