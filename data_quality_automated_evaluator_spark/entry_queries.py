@@ -3306,3 +3306,61 @@ def near_loop_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["near_loop_transcripts"] = _near_loop_oracle(FIXTURE_TRANSCRIPTS)
+
+
+@register(
+    "lang_confusion_documents",
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id, declared,
+        len(regexp_extract_all(s, '\bthe\b|\band\b|\bof\b|\bis\b|\bto\b|\bwith\b|\bfor\b'))*3.0
+          + len(regexp_extract_all(s, 'th|ing|ion'))*1.0
+          + len(regexp_extract_all(s, '[a-z]'))*0.05 AS en,
+        len(regexp_extract_all(s, '[éèêàâçùûîôœ]'))*2.0
+          + len(regexp_extract_all(s, '\ble\b|\bla\b|\bles\b|\bet\b|\bde\b|\bdes\b|\bavec\b|\bchaque\b'))*3.0
+          + len(regexp_extract_all(s, '[a-z]'))*0.02 AS fr,
+        len(regexp_extract_all(s, '[äöüß]'))*2.0
+          + len(regexp_extract_all(s, '\bder\b|\bdie\b|\bdas\b|\bund\b|\bmit\b|\bjeden\b|\büber\b'))*3.0
+          + len(regexp_extract_all(s, 'sch|ung'))*1.0
+          + len(regexp_extract_all(s, '[a-z]'))*0.02 AS de,
+        len(regexp_extract_all(s, '[Ѐ-ӿ]'))*2.0 AS ru,
+        len(regexp_extract_all(s, '[一-鿿]'))*2.0 AS zh
+      FROM (SELECT doc_id, lang AS declared,
+                   lower(substr(coalesce(text, ''), 1, 400)) AS s
+            FROM documents)
+    ), labeled AS (
+      SELECT declared, CASE
+        WHEN greatest(en, fr, de, ru, zh) < 0.5 THEN 'und'
+        WHEN en >= fr AND en >= de AND en >= ru AND en >= zh THEN 'en'
+        WHEN fr >= de AND fr >= ru AND fr >= zh THEN 'fr'
+        WHEN de >= ru AND de >= zh THEN 'de'
+        WHEN ru >= zh THEN 'ru'
+        ELSE 'zh' END AS predicted
+      FROM scored
+    )
+    SELECT declared, predicted,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM labeled GROUP BY declared, predicted
+    ORDER BY declared, predicted
+    """,
+)
+def lang_confusion_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-language metadata audit: confusion matrix of the corpus's
+    self-declared ``lang`` column vs the detector's label — web-scale
+    corpora routinely carry unreliable language metadata, and the
+    mismatch mass per declared language is the signal that decides
+    whether to trust the column or re-detect. One Arrow langid pass +
+    one tiny (declared, predicted) aggregation; the DuckDB oracle
+    re-implements the detector's full regex spec, so every cell of the
+    matrix is value-checked."""
+    from .pipeline.features import langid_udf
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("lang").alias("declared"), "text"
+    )
+    return (
+        d.select("declared", langid_udf("text").alias("predicted"))
+        .groupBy("declared", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("declared", "predicted")
+    )
