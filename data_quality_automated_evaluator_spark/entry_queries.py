@@ -3364,3 +3364,38 @@ def lang_confusion_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("declared", "predicted")
     )
+
+
+@register(
+    "length_histogram_documents",
+    oracle="""
+    SELECT source,
+           CAST(least(n_chars // 100, 9) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY source, least(n_chars // 100, 9)
+    ORDER BY source, bin
+    """,
+)
+def length_histogram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length histogram: fixed 100-char bins with an
+    open top bin — the standard first look at a corpus's length
+    distribution (truncation artifacts, boilerplate spikes, per-source
+    length bias). Fixed bins keep it ONE hash aggregation with map-side
+    partials — no percentile pass, no sort, no second job; at 10^12
+    docs the shuffle carries (source, bin) partial counts only."""
+    d = _t(spark, sf_dir, "documents")
+    bin_col = F.least(F.floor(F.col("n_chars") / 100), F.lit(9)).cast(
+        "bigint"
+    )
+    return (
+        d.groupBy("source", bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .orderBy("source", "bin")
+    )
