@@ -3399,3 +3399,61 @@ def length_histogram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bin")
     )
+
+
+def _pii_stats_oracle(path: str) -> str:
+    return r"""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(CASE WHEN len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS turns_with_email,
+           CAST(sum(CASE WHEN len(regexp_extract_all(text,
+                 '\b(?:\d[ -]?){15}\d\b')) > 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS turns_with_card,
+           CAST(sum(CASE WHEN len(regexp_extract_all(text,
+                 '\b(?:\d{1,3}\.){3}\d{1,3}\b')) > 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS turns_with_ip
+    FROM read_parquet('__PATH__')
+    GROUP BY CAST(CAST(ts AS DATE) AS VARCHAR) ORDER BY day
+    """.replace("__PATH__", path)
+
+
+@register("pii_stats_transcripts", oracle=None)  # bound below
+def pii_stats_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII observability: per-day counts of turns containing emails /
+    card numbers / IPv4 addresses — the monitoring counterpart of the
+    scrub pass (a PII-rate spike is an upstream-source incident). Pure
+    JVM regexp over the scan + one tiny date aggregation. The email and
+    card/IP patterns are shared with functions/scrub.py SCRUB_RULES;
+    the phone rule is excluded HERE only because its lookaround
+    constructs don't exist in RE2 (the oracle engine) — phone scrubbing
+    itself stays byte-exact-golden-tested in test_pipeline_golden.
+    (The oracle's email pattern drops scrub's \\b anchors: RE2 and Java
+    disagree on \\b adjacent to '+/-' inside the class; presence-per-
+    turn is unaffected.)"""
+    from .testdata import write_transcripts_parquet
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    t = spark.read.parquet(FIXTURE_TRANSCRIPTS)
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    card = r"\b(?:\d[ -]?){15}\d\b"
+    ip = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+    return (
+        # day as string: the driver's value hash stringifies a Spark DATE
+        # and a pandas datetime64 differently
+        t.groupBy(F.to_date("ts").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum((F.regexp_count("text", F.lit(email)) > 0).cast("long"))
+            .alias("turns_with_email"),
+            F.sum((F.regexp_count("text", F.lit(card)) > 0).cast("long"))
+            .alias("turns_with_card"),
+            F.sum((F.regexp_count("text", F.lit(ip)) > 0).cast("long"))
+            .alias("turns_with_ip"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLES["pii_stats_transcripts"] = _pii_stats_oracle(FIXTURE_TRANSCRIPTS)
