@@ -253,20 +253,26 @@ class MinHashBandStore:
             # doc whose bands are already in the store band-matches ITSELF
             # (id_a == id_b) — those rows are (a) dropped from the
             # candidate pairs (an equi-join never pairs a row with
-            # itself) and (b) reused as the already-ingested set so the
-            # band append skips them instead of double-appending. No
-            # extra store scan: both come from the probe join the
+            # itself) and (b) reused as the already-appended set. The
+            # skip is at (doc_id, band_hash) granularity, NOT doc level:
+            # if a previous append crashed after writing only some of a
+            # doc's bands, a doc-level skip would permanently lose the
+            # remaining bands (weakening future candidate recall) —
+            # band-level anti-join backfills exactly the missing ones.
+            # No extra store scan: both sets come from the probe join the
             # candidate search already pays for. doc_ids are immutable
             # content ids — "retry" means identical text, hence
             # identical band hashes.
             already = (
                 hist_pairs.filter(F.col("id_a") == F.col("id_b"))
-                .select(F.col("id_b").alias("doc_id"))
+                .select(F.col("id_b").alias("doc_id"), "band_hash")
                 .distinct()
             )
             vs_hist = hist_pairs.filter(F.col("id_a") != F.col("id_b"))
             cands = vs_new.unionByName(vs_hist)
-            to_append = to_append.join(already, "doc_id", "left_anti")
+            to_append = to_append.join(
+                already, ["doc_id", "band_hash"], "left_anti"
+            )
         else:
             cands = vs_new
         # same self-read hazard as ExactDedupStore: pin the candidate set

@@ -57,13 +57,13 @@ def kmeans_assign_col(centroids: list[list[float]], v: Column) -> Column:
 def _collect_centroids(stats: DataFrame, k: int, dim: int) -> list[list[float]]:
     rows = stats.collect()  # bounded: k * dim rows
     out: list[list[float]] = [[0.0] * dim for _ in range(k)]
-    seen = set()
     for r in rows:
         out[r["cell"]][r["pos"]] = r["c"]
-        seen.add(r["cell"])
-    # empty cells keep a zero centroid (deterministic; matches the
-    # oracle, which simply emits no rows for them)
-    return [out[i] for i in sorted(seen)]
+    # empty cells keep a zero centroid AT THEIR INDEX (deterministic;
+    # matches the oracle, which simply emits no rows for them) — never
+    # compacted, so cell id i denotes the same centroid in every Lloyd
+    # round and in the caller's final assignment pass
+    return out
 
 
 def kmeans_fit(

@@ -66,17 +66,28 @@ def range_join_points(
     if w <= 0:
         raise ValueError(f"bucket_width_seconds must be positive, got {w}")
 
+    def _us(col: Column) -> Column:
+        # microsecond arithmetic: unix_timestamp() truncates to whole
+        # seconds, which would mis-bucket fractional-second boundaries.
+        # unix_micros rejects TIMESTAMP_NTZ, so cast first — points and
+        # intervals go through the same cast, so buckets stay aligned.
+        return F.unix_micros(col.cast("timestamp"))
+
     def _b(col: Column) -> Column:
-        return F.floor(F.unix_timestamp(col) / F.lit(w)).cast("long")
+        return F.floor(_us(col) / F.lit(w * 1_000_000)).cast("long")
 
     ivl = intervals.withColumn(
         "_bucket",
         F.explode(
             F.sequence(
                 _b(F.col(start)),
-                # end is exclusive: an interval ending exactly on a
-                # bucket boundary does NOT reach into the next bucket
-                _b(F.col(end) - F.expr("INTERVAL 1 SECOND")),
+                # end is exclusive: the last covered instant is end-1µs,
+                # so an interval ending exactly ON a bucket boundary does
+                # not reach into the next bucket, while one ending a
+                # fraction of a second past it still claims that bucket
+                F.floor(
+                    (_us(F.col(end)) - F.lit(1)) / F.lit(w * 1_000_000)
+                ).cast("long"),
             )
         ),
     )

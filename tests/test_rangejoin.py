@@ -122,3 +122,59 @@ def test_range_join_bucket_width_validation(spark):
 
     with pytest.raises(ValueError):
         range_join_points(points, intervals, keys=["k"], bucket_width_seconds=0)
+
+
+def test_range_join_fractional_second_end(spark):
+    """An interval whose exclusive end falls a FRACTION of a second past
+    a bucket boundary still claims that final bucket: end = day-boundary
+    + 0.5s covers points in [boundary, boundary+0.5s). The old
+    whole-second end-bucket computation (end - INTERVAL 1 SECOND under
+    unix_timestamp truncation) silently dropped it."""
+    pts_schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("pid", IntegerType()),
+        ]
+    )
+    ivl_schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("start_ts", TimestampType()),
+            StructField("end_ts", TimestampType()),
+            StructField("iid", IntegerType()),
+        ]
+    )
+    # interval [Jan1 12:00, Jan3 00:00:00.500000) — end is 0.5s past the
+    # Jan3 bucket boundary (1-day buckets)
+    points = spark.createDataFrame(
+        [
+            ("a", TS(2024, 1, 3, 0, 0, 0, 250_000), 1),  # in [boundary, end)
+            ("a", TS(2024, 1, 3, 0, 0, 0, 500_000), 2),  # == end: excluded
+            ("a", TS(2024, 1, 2, 23, 59, 59, 999_999), 3),  # just before
+        ],
+        pts_schema,
+    )
+    intervals = spark.createDataFrame(
+        [("a", TS(2024, 1, 1, 12), TS(2024, 1, 3, 0, 0, 0, 500_000), 20)],
+        ivl_schema,
+    )
+    pairs = {
+        (r.pid, r.iid)
+        for r in range_join_points(points, intervals, keys=["k"])
+        .select("pid", "iid")
+        .collect()
+    }
+    assert pairs == {(1, 20), (3, 20)}
+
+    # and an end exactly ON the boundary still does NOT reach past it
+    intervals_on = spark.createDataFrame(
+        [("a", TS(2024, 1, 1, 12), TS(2024, 1, 3), 21)], ivl_schema
+    )
+    pairs_on = {
+        (r.pid, r.iid)
+        for r in range_join_points(points, intervals_on, keys=["k"])
+        .select("pid", "iid")
+        .collect()
+    }
+    assert pairs_on == {(3, 21)}
