@@ -770,48 +770,48 @@ def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # non-ASCII as non-word while the byte-domain backend treats it as word,
 # so keeping accents/Cyrillic/CJK away from dictionary words makes the
 # two boundary definitions agree exactly; the single-char accent/script
-# class counts are position-independent and always agree.
+# class counts are position-independent and always agree. For the same
+# reason probes use only the ASCII words of each language's dictionary
+# (não/são/também/più never appear — RE2's ASCII \b cannot see a
+# boundary next to an accented letter, Unicode \b can).
 _LANGID_PROBES = [
     "le chat et la mer avec des amis et chaque jour est beau é è ç û",
     "der hund und die katze laufen mit freude am ufer entlang ä ö ü ß",
     "привет мир это хорошо и ясно сегодня",
     "天 好 公 园 散 步 天 好",
+    "el gato y los perros como siempre una vez por ano pero bueno ñ ¿ ¡",
+    "uma casa dos homens das coisas mas tudo bem em paz ã õ ã õ",
+    "il cane che corre per strada sono felice della nella vita ì ò",
+    "こんにちは せかい きょうは いい てんき です ね",
     "0 1 2 3 4 ! ? . . .",
 ]
 _LANGID_PROBES_SQL = " UNION ALL ".join(
     f"SELECT '{t}' AS text" for t in _LANGID_PROBES
 )
 
+# The detector's DuckDB/RE2 score spec lives in pipeline/oracle_sql.py
+# (LANGID_SQL_SCORES) — the SAME table also builds the full quality
+# pipeline's keep-flags oracle, so the three langid oracles cannot drift.
+from .pipeline.oracle_sql import langid_label_case as _langid_label_case
+from .pipeline.oracle_sql import langid_scored_select as _langid_scored_sel
+
+
+def _langid_scored_select() -> str:
+    return _langid_scored_sel("s")
+
 
 @register(
     "langid_documents",
-    oracle=r"""
+    oracle=f"""
     WITH corpus AS (
       SELECT text FROM documents
-      UNION ALL """ + _LANGID_PROBES_SQL + r"""
+      UNION ALL {_LANGID_PROBES_SQL}
     ), scored AS (
       SELECT
-        len(regexp_extract_all(s, '\bthe\b|\band\b|\bof\b|\bis\b|\bto\b|\bwith\b|\bfor\b'))*3.0
-          + len(regexp_extract_all(s, 'th|ing|ion'))*1.0
-          + len(regexp_extract_all(s, '[a-z]'))*0.05 AS en,
-        len(regexp_extract_all(s, '[éèêàâçùûîôœ]'))*2.0
-          + len(regexp_extract_all(s, '\ble\b|\bla\b|\bles\b|\bet\b|\bde\b|\bdes\b|\bavec\b|\bchaque\b'))*3.0
-          + len(regexp_extract_all(s, '[a-z]'))*0.02 AS fr,
-        len(regexp_extract_all(s, '[äöüß]'))*2.0
-          + len(regexp_extract_all(s, '\bder\b|\bdie\b|\bdas\b|\bund\b|\bmit\b|\bjeden\b|\büber\b'))*3.0
-          + len(regexp_extract_all(s, 'sch|ung'))*1.0
-          + len(regexp_extract_all(s, '[a-z]'))*0.02 AS de,
-        len(regexp_extract_all(s, '[Ѐ-ӿ]'))*2.0 AS ru,
-        len(regexp_extract_all(s, '[一-鿿]'))*2.0 AS zh
+        {_langid_scored_select()}
       FROM (SELECT lower(substr(coalesce(text, ''), 1, 400)) AS s FROM corpus)
     ), labeled AS (
-      SELECT CASE
-        WHEN greatest(en, fr, de, ru, zh) < 0.5 THEN 'und'
-        WHEN en >= fr AND en >= de AND en >= ru AND en >= zh THEN 'en'
-        WHEN fr >= de AND fr >= ru AND fr >= zh THEN 'fr'
-        WHEN de >= ru AND de >= zh THEN 'de'
-        WHEN ru >= zh THEN 'ru'
-        ELSE 'zh' END AS lang
+      SELECT {_langid_label_case()} AS lang
       FROM scored
     )
     SELECT lang, count(*) AS n_docs FROM labeled GROUP BY lang ORDER BY lang
@@ -1196,21 +1196,23 @@ def incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstruction of the same two-phase semantics. The store round-trip
     (bootstrap append -> probe join on re-read digests) is the part a
     pure-SQL query can't see — that's exactly what this exercises."""
+    import hashlib
     import shutil
     import tempfile
 
     from .operators.incremental import ExactDedupStore
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    root = tempfile.mkdtemp(prefix="dedup_store_")
-    try:
-        store = ExactDedupStore(root)
-        store.ingest(docs.filter("doc_id < 250")).count()  # history pass
-        out = store.ingest(docs.filter("doc_id >= 250")).orderBy("doc_id")
-        # materialize before the temp store dir is removed
-        return spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    # the store outlives this function (the returned DataFrame reads it
+    # lazily — no driver collect), so it lives at a deterministic per-sf
+    # path that each invocation rebuilds from scratch instead of a
+    # finally-deleted tempdir
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"dedup_store_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    store = ExactDedupStore(root)
+    store.ingest(docs.filter("doc_id < 250")).count()  # history pass
+    return store.ingest(docs.filter("doc_id >= 250")).orderBy("doc_id")
 
 
 from .operators.sampling import stratified_sample_predicate as _strat_pred
@@ -3310,32 +3312,15 @@ ORACLES["near_loop_transcripts"] = _near_loop_oracle(FIXTURE_TRANSCRIPTS)
 
 @register(
     "lang_confusion_documents",
-    oracle=r"""
+    oracle=f"""
     WITH scored AS (
       SELECT doc_id, declared,
-        len(regexp_extract_all(s, '\bthe\b|\band\b|\bof\b|\bis\b|\bto\b|\bwith\b|\bfor\b'))*3.0
-          + len(regexp_extract_all(s, 'th|ing|ion'))*1.0
-          + len(regexp_extract_all(s, '[a-z]'))*0.05 AS en,
-        len(regexp_extract_all(s, '[éèêàâçùûîôœ]'))*2.0
-          + len(regexp_extract_all(s, '\ble\b|\bla\b|\bles\b|\bet\b|\bde\b|\bdes\b|\bavec\b|\bchaque\b'))*3.0
-          + len(regexp_extract_all(s, '[a-z]'))*0.02 AS fr,
-        len(regexp_extract_all(s, '[äöüß]'))*2.0
-          + len(regexp_extract_all(s, '\bder\b|\bdie\b|\bdas\b|\bund\b|\bmit\b|\bjeden\b|\büber\b'))*3.0
-          + len(regexp_extract_all(s, 'sch|ung'))*1.0
-          + len(regexp_extract_all(s, '[a-z]'))*0.02 AS de,
-        len(regexp_extract_all(s, '[Ѐ-ӿ]'))*2.0 AS ru,
-        len(regexp_extract_all(s, '[一-鿿]'))*2.0 AS zh
+        {_langid_scored_select()}
       FROM (SELECT doc_id, lang AS declared,
                    lower(substr(coalesce(text, ''), 1, 400)) AS s
             FROM documents)
     ), labeled AS (
-      SELECT declared, CASE
-        WHEN greatest(en, fr, de, ru, zh) < 0.5 THEN 'und'
-        WHEN en >= fr AND en >= de AND en >= ru AND en >= zh THEN 'en'
-        WHEN fr >= de AND fr >= ru AND fr >= zh THEN 'fr'
-        WHEN de >= ru AND de >= zh THEN 'de'
-        WHEN ru >= zh THEN 'ru'
-        ELSE 'zh' END AS predicted
+      SELECT declared, {_langid_label_case()} AS predicted
       FROM scored
     )
     SELECT declared, predicted,
@@ -3364,6 +3349,140 @@ def lang_confusion_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("declared", "predicted")
     )
+
+
+def _langid_turns_cte(path: str) -> str:
+    """Shared oracle CTE: per-turn langid labels over a transcripts
+    parquet (the pipeline LANGID_SCORE_SQL spec, keyed by conv/turn/ts)."""
+    from .pipeline.oracle_sql import LANGID_SCORE_SQL
+
+    langid = (
+        LANGID_SCORE_SQL
+        .replace("__KEYS__", "conv_id, turn_idx, ts")
+        .replace("__SCORE_SRC__", "feat")
+    )
+    return f"""
+    WITH feat AS (
+      SELECT conv_id, turn_idx, ts,
+             lower(substr(coalesce(text, ''), 1, 400)) AS sl
+      FROM read_parquet('{path}')
+    ),
+    lang AS (
+{langid}
+    )"""
+
+
+def _mixed_lang_oracle(path: str) -> str:
+    return f"""{_langid_turns_cte(path)},
+    counts AS (
+      SELECT conv_id, lang, count(*) AS n FROM lang GROUP BY conv_id, lang
+    ),
+    dom AS (
+      SELECT conv_id, lang AS dominant_lang FROM (
+        SELECT conv_id, lang,
+               row_number() OVER (PARTITION BY conv_id
+                                  ORDER BY n DESC, lang) AS rn
+        FROM counts
+      ) WHERE rn = 1
+    ),
+    g AS (
+      SELECT conv_id,
+             CAST(sum(n) AS BIGINT) AS n_turns,
+             CAST(count(*) AS BIGINT) AS n_langs,
+             CAST(max(n) AS BIGINT) AS n_dominant
+      FROM counts GROUP BY conv_id
+    )
+    SELECT g.conv_id, g.n_turns, g.n_langs, d.dominant_lang,
+           round(g.n_dominant / g.n_turns, 6) AS dominant_frac,
+           (g.n_langs > 1) AS is_mixed
+    FROM g JOIN dom d ON d.conv_id = g.conv_id
+    ORDER BY g.conv_id
+    """
+
+
+@register("mixed_lang_convs_transcripts", oracle=None)  # bound below
+def mixed_lang_convs_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation language-mixture audit: distinct detected
+    languages, the dominant one (mode; ties to the lexicographically
+    smallest label), its share, and a mixed flag — language switching
+    mid-conversation is a classic contamination signal in web-scraped
+    dialogue corpora. One Arrow langid pass, then the standard two-level
+    mode pattern: a (conv_id, lang) count aggregation (map-side partial,
+    8-byte labels in the shuffle — never text) feeding a conv_id window;
+    the window reuses the first Exchange's clustering. Oracle: the same
+    spec via pipeline LANGID_SCORE_SQL + a recursive-free SQL mode."""
+    from .pipeline.features import langid_udf
+    from .testdata import write_transcripts_parquet
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    t = spark.read.parquet(FIXTURE_TRANSCRIPTS)
+    counts = (
+        t.select("conv_id", langid_udf("text").alias("lang"))
+        .groupBy("conv_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("conv_id").orderBy(F.desc("n"), F.asc("lang"))
+    ranked = counts.withColumn("rn", F.row_number().over(w))
+    g = counts.groupBy("conv_id").agg(
+        F.sum("n").alias("n_turns"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.max("n").alias("n_dominant"),
+    )
+    dom = ranked.filter("rn = 1").select(
+        "conv_id", F.col("lang").alias("dominant_lang")
+    )
+    return (
+        g.join(dom, "conv_id")
+        .select(
+            "conv_id",
+            "n_turns",
+            "n_langs",
+            "dominant_lang",
+            F.round(F.col("n_dominant") / F.col("n_turns"), 6)
+            .alias("dominant_frac"),
+            (F.col("n_langs") > 1).alias("is_mixed"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+ORACLES["mixed_lang_convs_transcripts"] = _mixed_lang_oracle(
+    FIXTURE_TRANSCRIPTS
+)
+
+
+def _lang_by_day_oracle(path: str) -> str:
+    return f"""{_langid_turns_cte(path)}
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, lang,
+           CAST(count(*) AS BIGINT) AS n_turns
+    FROM lang GROUP BY day, lang ORDER BY day, lang
+    """
+
+
+@register("lang_by_day_transcripts", oracle=None)  # bound below
+def lang_by_day_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily language composition of the corpus — the drift monitor a
+    crawl pipeline watches to catch an upstream source flipping language
+    (or a langid regression) the day it happens. Map-only Arrow langid +
+    one tiny (day, lang) aggregation; at 10^12 turns the shuffle carries
+    partial counts only."""
+    from .pipeline.features import langid_udf
+    from .testdata import write_transcripts_parquet
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    t = spark.read.parquet(FIXTURE_TRANSCRIPTS)
+    return (
+        t.select(
+            F.to_date("ts").cast("string").alias("day"),
+            langid_udf("text").alias("lang"),
+        )
+        .groupBy("day", "lang")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .orderBy("day", "lang")
+    )
+
+
+ORACLES["lang_by_day_transcripts"] = _lang_by_day_oracle(FIXTURE_TRANSCRIPTS)
 
 
 @register(
@@ -3437,19 +3556,29 @@ def pii_stats_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
     t = spark.read.parquet(FIXTURE_TRANSCRIPTS)
     email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-    card = r"\b(?:\d[ -]?){15}\d\b"
+    # possessive [ -]?+ : giving the separator back can never help (the
+    # next element is \d, which a separator never satisfies), so the
+    # possessive form matches the exact same language as the oracle's
+    # backtracking-free RE2 \b(?:\d[ -]?){15}\d\b while denying Java's
+    # engine its quadratic retry walk over long digit runs
+    card = r"\b(?:\d[ -]?+){15}\d\b"
     ip = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+    # only PRESENCE is consumed -> rlike (stops at the first match)
+    # instead of regexp_count (scans every match in the whole string);
+    # the '@' contains-gate skips the email regex on the common case
     return (
         # day as string: the driver's value hash stringifies a Spark DATE
         # and a pandas datetime64 differently
         t.groupBy(F.to_date("ts").cast("string").alias("day"))
         .agg(
             F.count(F.lit(1)).alias("n_turns"),
-            F.sum((F.regexp_count("text", F.lit(email)) > 0).cast("long"))
-            .alias("turns_with_email"),
-            F.sum((F.regexp_count("text", F.lit(card)) > 0).cast("long"))
+            F.sum(
+                (F.col("text").contains("@") & F.col("text").rlike(email))
+                .cast("long")
+            ).alias("turns_with_email"),
+            F.sum(F.col("text").rlike(card).cast("long"))
             .alias("turns_with_card"),
-            F.sum((F.regexp_count("text", F.lit(ip)) > 0).cast("long"))
+            F.sum(F.col("text").rlike(ip).cast("long"))
             .alias("turns_with_ip"),
         )
         .orderBy("day")

@@ -30,7 +30,9 @@ from ._mem import raise_mmap_threshold
 
 raise_mmap_threshold()  # batch temporaries must stay in the arena
 
-LANGS = ["en", "fr", "de", "ru", "zh"]
+# argmax tie order = list order; new languages append at the END so the
+# original 5-language tie behavior is unchanged on old corpora
+LANGS = ["en", "fr", "de", "ru", "zh", "es", "pt", "it", "ja"]
 
 # (language, regex pattern, weight); counts are per-character-ngram hits.
 _FEATURES: list[tuple[str, str, float]] = [
@@ -48,12 +50,27 @@ _FEATURES: list[tuple[str, str, float]] = [
     ("ru", r"[Ѐ-ӿ]", 2.0),
     # Chinese: CJK unified ideographs
     ("zh", r"[一-鿿]", 2.0),
+    # Spanish: ñ + inverted punctuation + function words
+    ("es", r"[ñ¿¡]", 2.0),
+    ("es", r"\bel\b|\blos\b|\blas\b|\buna\b|\bpor\b|\bcon\b|\bcomo\b|\bpero\b", 3.0),
+    # Portuguese: nasal vowels (ã õ — absent from the fr/es/it classes)
+    # + function words
+    ("pt", r"[ãõ]", 2.0),
+    ("pt", r"\bnão\b|\buma\b|\bdos\b|\bdas\b|\bmas\b|\bsão\b|\btambém\b|\bem\b", 3.0),
+    # Italian: grave accents not in the fr class + function words
+    ("it", r"[ìò]", 2.0),
+    ("it", r"\bil\b|\bdella\b|\bnella\b|\bche\b|\bper\b|\bsono\b|\bpiù\b|\bgli\b", 3.0),
+    # Japanese: hiragana + katakana (kanji scores zh; kana is the
+    # ja-unique signal, and real Japanese text is kana-dominant)
+    ("ja", r"[ぁ-ヿ]", 2.0),
 ]
 
 # Latin letters weakly indicate the Latin-script languages (ties broken by
 # the stronger features above); keeps plain ASCII junk from scoring zero
 # everywhere and lets the confidence threshold kick in.
-_LATIN_BONUS = {"en": 0.05, "fr": 0.02, "de": 0.02}
+_LATIN_BONUS = {
+    "en": 0.05, "fr": 0.02, "de": 0.02, "es": 0.02, "pt": 0.02, "it": 0.02,
+}
 
 UNKNOWN = "und"
 MIN_SCORE = 0.5  # absolute score floor; below it the label is 'und'
@@ -88,6 +105,12 @@ _WORD_SETS: list[tuple[str, list[bytes], float]] = [
             ("le", "la", "les", "et", "de", "des", "avec", "chaque")], 3.0),
     ("de", [w.encode("utf-8") for w in
             ("der", "die", "das", "und", "mit", "jeden", "über")], 3.0),
+    ("es", [w.encode() for w in
+            ("el", "los", "las", "una", "por", "con", "como", "pero")], 3.0),
+    ("pt", [w.encode("utf-8") for w in
+            ("não", "uma", "dos", "das", "mas", "são", "também", "em")], 3.0),
+    ("it", [w.encode("utf-8") for w in
+            ("il", "della", "nella", "che", "per", "sono", "più", "gli")], 3.0),
 ]
 # bare-substring ngram features (no boundaries)
 _SUBSTR_SETS: list[tuple[str, list[bytes], float]] = [
@@ -217,6 +240,26 @@ def langid_frame(texts: pd.Series) -> pd.DataFrame:
         # CJK U+4E00–U+9FFF: 3-byte lead E4 (cont1 ≥ B8) or E5–E9
         m = ((lead == 0xE4) & (sec >= 0xB8)) | ((lead >= 0xE5) & (lead <= 0xE9))
         add_hits("zh", np.flatnonzero(m), 2.0)
+        # Spanish: ñ (C3 B1) + inverted punctuation ¿ (C2 BF) ¡ (C2 A1)
+        m = (lead == 0xC3) & (sec == 0xB1)
+        m |= (lead == 0xC2) & ((sec == 0xBF) | (sec == 0xA1))
+        add_hits("es", np.flatnonzero(m), 2.0)
+        # Portuguese nasal vowels: ã (C3 A3), õ (C3 B5)
+        m = (lead == 0xC3) & ((sec == 0xA3) | (sec == 0xB5))
+        add_hits("pt", np.flatnonzero(m), 2.0)
+        # Italian grave accents outside the fr class: ì (C3 AC), ò (C3 B2)
+        m = (lead == 0xC3) & ((sec == 0xAC) | (sec == 0xB2))
+        add_hits("it", np.flatnonzero(m), 2.0)
+
+    if len(buf) >= 3:
+        # Japanese kana U+3041–U+30FF: E3 81 81–BF | E3 82 * | E3 83 *
+        # (the 3rd-byte check on the 81 page excludes unassigned U+3040,
+        # keeping the mask exactly equal to the regex class [ぁ-ヿ])
+        l3, s3, t3 = buf[:-2], buf[1:-1], buf[2:]
+        m3 = (l3 == 0xE3) & (
+            ((s3 == 0x81) & (t3 >= 0x81)) | (s3 == 0x82) | (s3 == 0x83)
+        )
+        add_hits("ja", np.flatnonzero(m3), 2.0)
 
     # Latin [a-z] bonus — dense, so segment-sum an int mask instead of
     # walking sparse indices (reduceat segments exact: starts strictly

@@ -61,30 +61,69 @@ _CLS_TEMPLATE = """
   )
 """
 
-# langid model spec (functions/langid.py): shared verbatim with the
-# langid_documents oracle — scores over the lowered 400-char prefix ``sl``
-LANGID_SCORE_SQL = r"""
-    SELECT __KEYS__, CASE
-        WHEN greatest(en, fr, de, ru, zh) < 0.5 THEN 'und'
-        WHEN en >= fr AND en >= de AND en >= ru AND en >= zh THEN 'en'
-        WHEN fr >= de AND fr >= ru AND fr >= zh THEN 'fr'
-        WHEN de >= ru AND de >= zh THEN 'de'
-        WHEN ru >= zh THEN 'ru'
-        ELSE 'zh' END AS lang
+# langid model spec (functions/langid.py) re-expressed as DuckDB/RE2
+# score expressions over the lowered 400-char prefix — the ONE table
+# behind every langid oracle (this pipeline oracle, langid_documents,
+# lang_confusion_documents), so they cannot drift apart. Order = argmax
+# tie order = functions/langid.py LANGS. ``__S__`` is the prefix column.
+LANGID_SQL_SCORES: list[tuple[str, str]] = [
+    ("en",
+     r"len(regexp_extract_all(__S__, '\bthe\b|\band\b|\bof\b|\bis\b|\bto\b|\bwith\b|\bfor\b'))*3.0"
+     r" + len(regexp_extract_all(__S__, 'th|ing|ion'))*1.0"
+     r" + len(regexp_extract_all(__S__, '[a-z]'))*0.05"),
+    ("fr",
+     r"len(regexp_extract_all(__S__, '[éèêàâçùûîôœ]'))*2.0"
+     r" + len(regexp_extract_all(__S__, '\ble\b|\bla\b|\bles\b|\bet\b|\bde\b|\bdes\b|\bavec\b|\bchaque\b'))*3.0"
+     r" + len(regexp_extract_all(__S__, '[a-z]'))*0.02"),
+    ("de",
+     r"len(regexp_extract_all(__S__, '[äöüß]'))*2.0"
+     r" + len(regexp_extract_all(__S__, '\bder\b|\bdie\b|\bdas\b|\bund\b|\bmit\b|\bjeden\b|\büber\b'))*3.0"
+     r" + len(regexp_extract_all(__S__, 'sch|ung'))*1.0"
+     r" + len(regexp_extract_all(__S__, '[a-z]'))*0.02"),
+    ("ru", r"len(regexp_extract_all(__S__, '[Ѐ-ӿ]'))*2.0"),
+    ("zh", r"len(regexp_extract_all(__S__, '[一-鿿]'))*2.0"),
+    ("es",
+     r"len(regexp_extract_all(__S__, '[ñ¿¡]'))*2.0"
+     r" + len(regexp_extract_all(__S__, '\bel\b|\blos\b|\blas\b|\buna\b|\bpor\b|\bcon\b|\bcomo\b|\bpero\b'))*3.0"
+     r" + len(regexp_extract_all(__S__, '[a-z]'))*0.02"),
+    ("pt",
+     r"len(regexp_extract_all(__S__, '[ãõ]'))*2.0"
+     r" + len(regexp_extract_all(__S__, '\bnão\b|\buma\b|\bdos\b|\bdas\b|\bmas\b|\bsão\b|\btambém\b|\bem\b'))*3.0"
+     r" + len(regexp_extract_all(__S__, '[a-z]'))*0.02"),
+    ("it",
+     r"len(regexp_extract_all(__S__, '[ìò]'))*2.0"
+     r" + len(regexp_extract_all(__S__, '\bil\b|\bdella\b|\bnella\b|\bche\b|\bper\b|\bsono\b|\bpiù\b|\bgli\b'))*3.0"
+     r" + len(regexp_extract_all(__S__, '[a-z]'))*0.02"),
+    ("ja", r"len(regexp_extract_all(__S__, '[ぁ-ヿ]'))*2.0"),
+]
+
+
+def langid_scored_select(col: str = "s") -> str:
+    """SELECT-list of per-language score expressions over prefix ``col``."""
+    return ",\n        ".join(
+        f"{expr.replace('__S__', col)} AS {lang}"
+        for lang, expr in LANGID_SQL_SCORES
+    )
+
+
+def langid_label_case() -> str:
+    """The model's argmax as a SQL CASE chain: first language in LANGS
+    order whose score >= every later language's score; 'und' below the
+    MIN_SCORE floor."""
+    langs = [lang for lang, _ in LANGID_SQL_SCORES]
+    clauses = [f"WHEN greatest({', '.join(langs)}) < 0.5 THEN 'und'"]
+    for i, lang in enumerate(langs[:-1]):
+        cond = " AND ".join(f"{lang} >= {r}" for r in langs[i + 1:])
+        clauses.append(f"WHEN {cond} THEN '{lang}'")
+    clauses.append(f"ELSE '{langs[-1]}'")
+    return "CASE\n        " + "\n        ".join(clauses) + " END"
+
+
+LANGID_SCORE_SQL = f"""
+    SELECT __KEYS__, {langid_label_case()} AS lang
     FROM (
       SELECT __KEYS__,
-        len(regexp_extract_all(sl, '\bthe\b|\band\b|\bof\b|\bis\b|\bto\b|\bwith\b|\bfor\b'))*3.0
-          + len(regexp_extract_all(sl, 'th|ing|ion'))*1.0
-          + len(regexp_extract_all(sl, '[a-z]'))*0.05 AS en,
-        len(regexp_extract_all(sl, '[éèêàâçùûîôœ]'))*2.0
-          + len(regexp_extract_all(sl, '\ble\b|\bla\b|\bles\b|\bet\b|\bde\b|\bdes\b|\bavec\b|\bchaque\b'))*3.0
-          + len(regexp_extract_all(sl, '[a-z]'))*0.02 AS fr,
-        len(regexp_extract_all(sl, '[äöüß]'))*2.0
-          + len(regexp_extract_all(sl, '\bder\b|\bdie\b|\bdas\b|\bund\b|\bmit\b|\bjeden\b|\büber\b'))*3.0
-          + len(regexp_extract_all(sl, 'sch|ung'))*1.0
-          + len(regexp_extract_all(sl, '[a-z]'))*0.02 AS de,
-        len(regexp_extract_all(sl, '[Ѐ-ӿ]'))*2.0 AS ru,
-        len(regexp_extract_all(sl, '[一-鿿]'))*2.0 AS zh
+        {langid_scored_select('sl')}
       FROM __SCORE_SRC__
     )
 """

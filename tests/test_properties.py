@@ -30,7 +30,8 @@ REALISTIC_TEXT = st.text(
         "abcdefghijklmnopqrstuvwxyz ABCDEFGHIJKLMNOPQRSTUVWXYZ"
         "0123456789 .,!?'\"-:;()@#\n\t"
         "éèêàâçùûîôœÉÈÀÜÄÖäöüß"
-        "приветмирЯЁё天好公园散步の"
+        "ñ¿¡ÑãõÃÕìòÌÒ"
+        "приветмирЯЁё天好公园散步のぁんアヿ"
         "  ‘’“”«»…–—"
     ),
     min_size=0,
@@ -99,7 +100,9 @@ def test_langid_backends_match_on_transcripts():
 def test_langid_total(texts):
     s = pd.Series(texts, dtype=object)
     labels = langid_label(s)
-    assert set(labels) <= {"en", "fr", "de", "ru", "zh", "und"}
+    assert set(labels) <= {
+        "en", "fr", "de", "ru", "zh", "es", "pt", "it", "ja", "und",
+    }
     assert len(labels) == len(s)
 
 
