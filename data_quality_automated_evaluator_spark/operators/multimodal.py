@@ -300,11 +300,19 @@ def sample_frames(df: DataFrame, every_n: int = 30,
                   content_col: str = "content", id_col: str = "media_id") -> DataFrame:
     """Video frame sampling, map-only. REAL for MJPEG-in-AVI (the RIFF
     container walk in ``functions/avi.py`` yields every Nth frame's
-    actual JPEG bytes, decodable by ``functions/jpeg.py`` —
-    ``is_real=True``); other video codecs (H.264/VP9/...) fall through
-    to the deterministic digest fake (``is_real=False``, NULL bytes) —
-    the honest pyav/ffmpeg seam, one function body to swap."""
-    from ..functions.avi import AviFormatError, demux_mjpeg_frames
+    actual JPEG bytes, decodable by ``functions/jpeg.py``) and for
+    uncompressed AVI (BI_RGB / I420 — decoded pixels re-emitted as
+    lossless PNG via ``functions/png.py``), both ``is_real=True``;
+    inter-frame codecs (H.264/VP9/...) fall through to the deterministic
+    digest fake (``is_real=False``, NULL bytes) — the honest pyav/ffmpeg
+    seam, one function body to swap."""
+    from ..functions.avi import (
+        AviFormatError,
+        avi_codec,
+        demux_mjpeg_frames,
+        demux_raw_frames,
+    )
+    from ..functions.png import encode_png
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -314,14 +322,22 @@ def sample_frames(df: DataFrame, every_n: int = 30,
                 c = bytes(c) if c is not None else None
                 if c is not None and c[:4] == b"RIFF":
                     try:
-                        for k, jpg in demux_mjpeg_frames(c):
+                        codec = avi_codec(c)
+                        if codec in ("RGB", "I420"):
+                            frames = (
+                                (k, encode_png(px))
+                                for k, px in demux_raw_frames(c)
+                            )
+                        else:  # MJPG (and any '..dc' JPEG payloads)
+                            frames = demux_mjpeg_frames(c)
+                        for k, img in frames:
                             if k % every_n:
                                 continue
                             rows["media_id"].append(mid)
                             rows["frame_idx"].append(k)
-                            rows["frame_bytes"].append(jpg)
+                            rows["frame_bytes"].append(img)
                             rows["frame_sha"].append(
-                                hashlib.sha256(jpg).hexdigest()
+                                hashlib.sha256(img).hexdigest()
                             )
                             rows["is_real"].append(True)
                         continue
@@ -396,6 +412,24 @@ def make_fake_media(spark, n: int = 64) -> DataFrame:
                     ).astype(np.uint8)
                     frames.append(encode_jpeg(img, quality=88))
                 content = mux_mjpeg_avi(frames, w, h, fps=5)
+                rows.append((i, "video", content, "video/x-msvideo", w, h))
+            elif i % 16 == 7:
+                # a REAL uncompressed AVI (BI_RGB / I420 alternating) so
+                # sample_frames exercises the raw-frame decode path
+                from ..functions.avi import mux_raw_avi
+
+                w, h = 24, 16
+                frames = []
+                for k in range(i % 5 + 3):
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    img = np.stack(
+                        [(xx * 13 + k * 7) % 256, (yy * 3 + k) % 256,
+                         (xx * 2 + yy + k * 19) % 256],
+                        axis=2,
+                    ).astype(np.uint8)
+                    frames.append(img)
+                codec = "rgb" if (i // 16) % 2 == 0 else "i420"
+                content = mux_raw_avi(frames, fps=5, codec=codec)
                 rows.append((i, "video", content, "video/x-msvideo", w, h))
             else:
                 rows.append((i, "video", bytes([i % 251]) * (1000 * (i % 5 + 1)), "video/fake", None, None))

@@ -106,12 +106,14 @@ def test_resize_real_pngs_and_dirty_rows(spark, media):
 
 def test_sample_frames_real_mjpeg_and_fake_seam(spark, media):
     """sample_frames is REAL for MJPEG/AVI fixture rows (demuxed frames
-    are decodable JPEGs, is_real=True) and falls back to the
-    deterministic digest fake (is_real=False, NULL bytes) for opaque
-    video blobs — per-row, never a task failure."""
+    are decodable JPEGs) AND for uncompressed BI_RGB/I420 AVIs (frames
+    re-emitted as decodable PNGs), is_real=True for both; it falls back
+    to the deterministic digest fake (is_real=False, NULL bytes) for
+    opaque video blobs — per-row, never a task failure."""
     import hashlib
 
     from data_quality_automated_evaluator_spark.functions.jpeg import decode_jpeg
+    from data_quality_automated_evaluator_spark.functions.png import decode_png
 
     out = sample_frames(media.filter(F.col("kind") == "video"), every_n=2).toPandas()
     assert len(out) > 0
@@ -122,11 +124,65 @@ def test_sample_frames_real_mjpeg_and_fake_seam(spark, media):
     real = out[out["is_real"]]
     fake = out[~out["is_real"]]
     assert len(real) > 0 and len(fake) > 0  # fixture has both kinds
+    n_jpeg = n_png = 0
     for _, r in real.iterrows():
-        jpg = bytes(r["frame_bytes"])
-        assert decode_jpeg(jpg).shape == (16, 24, 3)
-        assert hashlib.sha256(jpg).hexdigest() == r["frame_sha"]
+        img = bytes(r["frame_bytes"])
+        if img[:2] == b"\xff\xd8":
+            assert decode_jpeg(img).shape == (16, 24, 3)
+            n_jpeg += 1
+        else:
+            assert decode_png(img).shape == (16, 24, 3)
+            n_png += 1
+        assert hashlib.sha256(img).hexdigest() == r["frame_sha"]
+    # the fixture plants all three real codecs
+    assert n_jpeg > 0 and n_png > 0
     assert fake["frame_bytes"].isna().all()
+
+
+def test_raw_avi_round_trip():
+    """BI_RGB mux→demux is pixel-exact; I420 is close (4:2:0 chroma
+    averaging + rounding) and exact on 2x2-uniform-chroma frames."""
+    import numpy as np
+
+    from data_quality_automated_evaluator_spark.functions.avi import (
+        avi_codec,
+        avi_meta,
+        demux_raw_frames,
+        mux_raw_avi,
+    )
+
+    rng = np.random.RandomState(7)
+    frames = [rng.randint(0, 256, (12, 20, 3), dtype=np.uint8)
+              for _ in range(4)]
+    rgb = mux_raw_avi(frames, fps=5, codec="rgb")
+    assert avi_codec(rgb) == "RGB"
+    meta = avi_meta(rgb)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (20, 12, 4)
+    out = list(demux_raw_frames(rgb))
+    assert len(out) == 4
+    for (k, px), src in zip(out, frames):
+        assert px.dtype == np.uint8 and px.shape == (12, 20, 3)
+        assert (px == src).all()  # BI_RGB is lossless
+
+    # smooth gradients: chroma varies slowly, so 4:2:0 subsampling error
+    # stays small (random noise would be the chroma worst case)
+    yy, xx = np.mgrid[0:12, 0:20]
+    grads = [
+        np.stack([(xx * 3 + k) % 256, (yy * 5 + k) % 256,
+                  ((xx + yy) * 2 + k) % 256], axis=2).astype(np.uint8)
+        for k in range(3)
+    ]
+    i420 = mux_raw_avi(grads, fps=5, codec="i420")
+    assert avi_codec(i420) == "I420"
+    for (k, px), src in zip(demux_raw_frames(i420), grads):
+        assert px.shape == (12, 20, 3)
+        assert np.abs(px.astype(int) - src.astype(int)).mean() < 8
+
+    # exact I420 round-trip when each 2x2 block is one flat color
+    flat = np.repeat(np.repeat(
+        rng.randint(0, 256, (6, 10, 3), dtype=np.uint8), 2, 0), 2, 1)
+    (_, px), = list(demux_raw_frames(mux_raw_avi([flat], codec="i420")))
+    assert np.abs(px.astype(int) - flat.astype(int)).max() <= 2  # rounding only
 
 
 def test_streaming_quality(spark, tmp_path):
