@@ -21,6 +21,12 @@ def main() -> None:
     spec = sys.argv[1]
     path = sys.argv[2]
     runs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    # partition count of the JOB, passed by the pair driver so BOTH
+    # levels of an N vs 4N pair run the identical plan (a real cluster
+    # comparison scales the cluster, not the job: partitioning comes
+    # from the data, so the small side must pay the same per-task
+    # overheads, not 1/4 of them). 0 → legacy per-level cores*4.
+    partitions = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 
     from data_quality_automated_evaluator_spark.session import get_spark
     from data_quality_automated_evaluator_spark.pipeline.quality import run_quality_pipeline
@@ -46,13 +52,15 @@ def main() -> None:
             "spark.driver.memory": "4g",
         }
 
+    if partitions <= 0:
+        partitions = max(cores * 4, 32)
     spark = get_spark(
         app_name=f"bench-worker-{spec}",
         master=master,
-        shuffle_partitions=max(cores * 4, 32),
+        shuffle_partitions=partitions,
         extra_conf=extra,
     )
-    df = spark.read.parquet(path).repartition(cores * 4)
+    df = spark.read.parquet(path).repartition(partitions)
     res = run_quality_pipeline(df)
     # TWO warm-up passes: the first pays JIT + Python-worker + Arrow
     # spin-up, the second still runs 10-20% slow while the worker pool
