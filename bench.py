@@ -186,6 +186,16 @@ def _parse_result(stdout: str, stderr: str, mean: bool = False) -> float:
     raise RuntimeError(f"bench worker failed: {stdout[-500:]} {stderr[-2000:]}")
 
 
+def _parse_min_mean(stdout: str, stderr: str) -> tuple[float, float]:
+    """Both RESULT fields: (min_of_runs, mean_of_runs)."""
+    for line in stdout.splitlines():
+        if line.startswith("RESULT "):
+            parts = line.split()
+            lo = float(parts[1])
+            return lo, float(parts[2]) if len(parts) >= 3 else lo
+    raise RuntimeError(f"bench worker failed: {stdout[-500:]} {stderr[-2000:]}")
+
+
 def _pinned_steady_sec(
     spec: int | str, path: str, runs: int = 2, pin_cpus: int | None = None
 ) -> float:
@@ -251,13 +261,12 @@ def _concurrent_pair_secs(
     )
     out_b, err_b = p_big.communicate(timeout=900)
     out_s, err_s = p_small.communicate(timeout=900)
-    # mean=True: with runs_big > runs_small, min-of-many vs min-of-few
-    # would systematically flatter the big side — exactly the
-    # cherry-picking this pair methodology exists to avoid.
-    return (
-        _parse_result(out_s, err_s, mean=True),
-        _parse_result(out_b, err_b, mean=True),
-    )
+    # ratios use per-run MEANS: with runs_big > runs_small, min-of-many
+    # vs min-of-few would systematically flatter the big side — exactly
+    # the cherry-picking this pair methodology exists to avoid. The
+    # (min, mean) tuples also let the caller gate on within-window
+    # dispersion (mean/min per side).
+    return _parse_min_mean(out_s, err_s), _parse_min_mean(out_b, err_b)
 
 
 def _gated_pair_attempts(
@@ -266,30 +275,51 @@ def _gated_pair_attempts(
     pair_kw: dict,
     max_attempts: int = 4,
     want_clean: int = 2,
+    budget_sec: float = 1500.0,
 ) -> list[dict]:
-    """Weather-gated pair recording: immediately before each pipeline
-    pair, run the matched pure-CPU burn control on the SAME disjoint CPU
-    sets. A control reading outside [0.9, 1.05] means the window itself
-    is corrupted (a pure-arithmetic N→4N pair cannot truly scale
+    """Weather-gated pair recording: each pipeline pair is SANDWICHED
+    between two matched pure-CPU burn controls on the SAME disjoint CPU
+    sets. A control reading outside [0.9, 1.05] means the window is
+    corrupted (a pure-arithmetic N→4N pair cannot truly scale
     superlinearly, and sub-0.9 means one set was being stolen from
-    harder than the other) — the pipeline reading from that window says
-    nothing about the pipeline, so it is kept for the record but marked
-    dirty and the pair is re-attempted. Stops after ``want_clean`` clean
-    windows or ``max_attempts`` total. Selection is keyed ONLY on the
-    hardware control, never on the pipeline efficiency itself.
+    harder than the other); requiring BOTH the pre- and post-window
+    control to be clean also catches weather that shifts mid-pair,
+    which a single leading control misses (observed: clean pre-control,
+    then the big side degraded 68% inside the window). Dirty windows
+    are kept for the record but marked, and the pair re-attempts —
+    stopping after ``want_clean`` clean windows or ``max_attempts``
+    total. Selection is keyed ONLY on the hardware controls, never on
+    the pipeline efficiency itself.
     """
     attempts: list[dict] = []
     n_clean = 0
+    t0 = time.perf_counter()
     for _ in range(max_attempts):
+        if attempts and time.perf_counter() - t0 > budget_sec:
+            break  # wall-clock cap: keep the whole bench driver-sized
         hw_s, hw_b = _hw_pair_control(*hw_args)
-        hw_eff = hw_b / (4.0 * hw_s)
-        s, b = _concurrent_pair_secs(path, **pair_kw)
-        clean = 0.90 <= hw_eff <= 1.05
+        hw_pre = hw_b / (4.0 * hw_s)
+        (s_min, s), (b_min, b) = _concurrent_pair_secs(path, **pair_kw)
+        hw_s2, hw_b2 = _hw_pair_control(*hw_args)
+        hw_post = hw_b2 / (4.0 * hw_s2)
+        # self-consistency: a warm steady-state window whose own runs
+        # disagree by >30% (mean/min per side) had a weather event
+        # mid-run — dirty regardless of what the controls saw (observed:
+        # clean controls around a window whose big side averaged 31s
+        # against its own 19s best)
+        disp = max(s / max(s_min, 1e-9), b / max(b_min, 1e-9))
+        clean = (
+            all(0.90 <= x <= 1.05 for x in (hw_pre, hw_post))
+            and disp <= 1.30
+        )
         attempts.append(
             {
                 "secs": (s, b),
                 "eff": s / (4.0 * b),
-                "hw_eff": hw_eff,
+                "hw_eff": (hw_pre + hw_post) / 2.0,
+                "hw_pre": hw_pre,
+                "hw_post": hw_post,
+                "disp": disp,
                 "clean": clean,
             }
         )
@@ -300,10 +330,19 @@ def _gated_pair_attempts(
 
 
 def _best_attempt(attempts: list[dict]) -> dict:
-    """Best pipeline efficiency among CLEAN windows (all windows only if
-    none came back clean — then the dirt is visible in the sidecar)."""
+    """MEDIAN pipeline efficiency among CLEAN windows (all windows only
+    if none came back clean — then the dirt is visible in the sidecar).
+    Median, not best: with minute-scale weather the clean-window
+    readings still scatter both ways (observed 0.76-1.08 on identical
+    code), and picking the max would bank the lucky tail while the
+    gating rhetoric claims weather-freedom. The sidecar keeps every
+    attempt. Returns the attempt whose eff is the (lower) median; the
+    reported hw controls come from that same window."""
+    import statistics
+
     clean = [a for a in attempts if a["clean"]] or attempts
-    return max(clean, key=lambda a: a["eff"])
+    med = statistics.median_low([a["eff"] for a in clean])
+    return next(a for a in clean if a["eff"] == med)
 
 
 def _dump_attempts(attempts: list[dict]) -> list[dict]:
@@ -311,7 +350,9 @@ def _dump_attempts(attempts: list[dict]) -> list[dict]:
         {
             "secs": [round(a["secs"][0], 2), round(a["secs"][1], 2)],
             "eff": round(a["eff"], 3),
-            "hw_eff": round(a["hw_eff"], 3),
+            "hw_pre": round(a.get("hw_pre", a["hw_eff"]), 3),
+            "hw_post": round(a.get("hw_post", a["hw_eff"]), 3),
+            "disp": round(a.get("disp", 1.0), 3),
             "clean": a["clean"],
         }
         for a in attempts
@@ -438,7 +479,8 @@ def _bench_body() -> tuple[dict, str]:
         # reported in the sidecar.
         tps: dict[int, float] = {}
         attempts_2_8 = _gated_pair_attempts(
-            scale_path, hw_args=(2, "0-1", 8, "2-9"), pair_kw={}
+            scale_path, hw_args=(2, "0-1", 8, "2-9"), pair_kw={},
+            max_attempts=5, want_clean=3,
         )
         tps[2] = n_scale / min(a["secs"][0] for a in attempts_2_8)
         tps[8] = n_scale / min(a["secs"][1] for a in attempts_2_8)
@@ -448,16 +490,25 @@ def _bench_body() -> tuple[dict, str]:
         # 32-way number is dominated by whatever the hypervisor does in
         # that particular minute (observed raw 8->32 anywhere in
         # 0.07-0.40 with a pure-CPU control ceiling of ~0.5)
+        # the 4|16 pair runs on the FULL bench input (2x the thread-pair
+        # input): at 16 task-slots the smaller input finishes in ~10s
+        # per run and per-run scheduling/steal noise dominates the
+        # ratio (observed 10.3-14.5s big-side swings on identical code);
+        # ~25s runs put both sides back in steady state
+        n_bench = duckdb.sql(
+            f"select count(*) from '{data_path}'"
+        ).fetchone()[0]
         attempts_4_16 = _gated_pair_attempts(
-            scale_path,
+            data_path,
             hw_args=(4, "0-3", 16, "4-19"),
             pair_kw=dict(
                 n_small=4, n_big=16, cpus_small="0-3",
-                cpus_big="4-19", runs_small=3, runs_big=10,
+                cpus_big="4-19", runs_small=2, runs_big=6,
             ),
+            max_attempts=5, want_clean=3,
         )
-        tps[4] = n_scale / min(a["secs"][0] for a in attempts_4_16)
-        tps[16] = n_scale / min(a["secs"][1] for a in attempts_4_16)
+        tps[4] = n_bench / min(a["secs"][0] for a in attempts_4_16)
+        tps[16] = n_bench / min(a["secs"][1] for a in attempts_4_16)
         # the north rule's literal shape — N EXECUTORS vs 4N EXECUTORS:
         # local-cluster[W,2,2048] launches W real separate executor JVMs
         # (own Worker process, netty block transfer, serialized task
@@ -540,17 +591,20 @@ def _bench_body() -> tuple[dict, str]:
             "attempts_exec_n_4n": _dump_attempts(attempts_exec),
             "method": (
                 "CPU-pinned warm steady-state, full pipeline, noop sink, "
-                "same input at every level; each N->4N pair (2|8 on cpus "
-                "0-1|2-9, then 4|16 on cpus 0-3|4-19) runs simultaneously "
-                "on disjoint sets so the ratio is weather-free; "
+                "same input for both levels of a pair; each N->4N pair "
+                "(2|8 on cpus 0-1|2-9, then 4|16 on cpus 0-3|4-19) runs "
+                "simultaneously on disjoint sets so the ratio is "
+                "weather-free, and BOTH levels run the identical plan "
+                "(one partition count, sized for the big side); "
                 "efficiency computed per concurrent pair (same run) from "
                 "per-run MEAN seconds over the overlapping window; each "
-                "attempt is gated by a matched pure-CPU burn control on "
-                "the same CPU sets run immediately before it — a control "
-                "outside [0.9, 1.05] marks the window corrupted and the "
-                "pair re-records (max 4 attempts, stop at 2 clean); "
-                "headline = best pipeline eff among CLEAN windows, "
-                "selection keyed on the control only"
+                "attempt is SANDWICHED between two matched pure-CPU burn "
+                "controls on the same CPU sets — any control outside "
+                "[0.9, 1.05] (before OR after) marks the window corrupted "
+                "and the pair re-records, as does a window whose own "
+                "runs disagree by >30% mean/min (max 5 attempts, stop "
+                "at 3 clean); headline = MEDIAN pipeline eff among CLEAN "
+                "windows, selection keyed on the controls only"
             ),
             "n_turns": n_scale,
             "turns_per_sec": {str(k): round(v, 1) for k, v in tps.items()},

@@ -32,10 +32,17 @@ def main() -> None:
     from data_quality_automated_evaluator_spark.pipeline.quality import run_quality_pipeline
 
     if spec.isdigit():
-        # "8" → local[8]: one JVM, 8 task threads
+        # "8" → local[8]: one JVM, 8 task threads. Heap scales with the
+        # core count (2 GB per task slot, 4 GB floor): an N vs 4N
+        # cluster comparison gives the 4N side 4x the total memory — a
+        # shared fixed-size heap would starve the big side's concurrent
+        # tasks (4x the young-gen pressure per GB) and misattribute GC
+        # stalls to coordination overhead.
         cores = int(spec)
         master = f"local[{cores}]"
-        extra: dict[str, str] = {}
+        extra: dict[str, str] = {
+            "spark.driver.memory": f"{max(2 * cores, 4)}g",
+        }
     else:
         # full master spec, e.g. local-cluster[4,4,1024]: REAL separate
         # executor JVMs (one Worker+Executor pair each) with netty
