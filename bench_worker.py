@@ -40,8 +40,18 @@ def main() -> None:
         # stalls to coordination overhead.
         cores = int(spec)
         master = f"local[{cores}]"
+        # heap scales with the task-slot count but is capped at half the
+        # host's physical RAM: an uncapped 2 GB/core request asks for
+        # -Xmx64g at local[32], which on a smaller host gets the JVM
+        # OOM-killed or swapping under GC mid-measurement
+        try:
+            with open("/proc/meminfo") as f:
+                total_gb = int(f.readline().split()[1]) // (1024 * 1024)
+        except OSError:
+            total_gb = 16
+        heap = max(4, min(2 * cores, max(total_gb // 2, 4)))
         extra: dict[str, str] = {
-            "spark.driver.memory": f"{max(2 * cores, 4)}g",
+            "spark.driver.memory": f"{heap}g",
         }
     else:
         # full master spec, e.g. local-cluster[4,4,1024]: REAL separate

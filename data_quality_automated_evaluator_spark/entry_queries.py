@@ -1196,6 +1196,7 @@ def incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstruction of the same two-phase semantics. The store round-trip
     (bootstrap append -> probe join on re-read digests) is the part a
     pure-SQL query can't see — that's exactly what this exercises."""
+    import atexit
     import hashlib
     import shutil
     import tempfile
@@ -1204,12 +1205,17 @@ def incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     # the store outlives this function (the returned DataFrame reads it
-    # lazily — no driver collect), so it lives at a deterministic per-sf
-    # path that each invocation rebuilds from scratch instead of a
-    # finally-deleted tempdir
+    # lazily — no driver collect), so it lives at a per-(sf, process)
+    # path: the pid nonce keeps two concurrent drivers on the same
+    # sf_dir from rmtree-ing each other's store while the other's
+    # lazily-returned DataFrame still reads it, and the atexit hook
+    # cleans the leak up when this process ends
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    root = os.path.join(tempfile.gettempdir(), f"dedup_store_{tag}")
+    root = os.path.join(
+        tempfile.gettempdir(), f"dedup_store_{tag}_{os.getpid()}"
+    )
     shutil.rmtree(root, ignore_errors=True)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     store = ExactDedupStore(root)
     store.ingest(docs.filter("doc_id < 250")).count()  # history pass
     return store.ingest(docs.filter("doc_id >= 250")).orderBy("doc_id")

@@ -144,7 +144,16 @@ def avi_codec(data: bytes) -> str | None:
                         if cid3 == b"strf" and l3 >= 20:
                             comp = data[s3 + 16 : s3 + 20]
                             if comp == b"\x00\x00\x00\x00":
-                                return "RGB"
+                                # BI_RGB covers 16/24/32 bpp; the raw
+                                # decoder only speaks 24 — a 16/32 bpp
+                                # file passes the stride*h length check
+                                # and would silently decode to garbage,
+                                # so tag the depth and let
+                                # demux_raw_frames reject it cleanly
+                                bits = struct.unpack(
+                                    "<H", data[s3 + 14 : s3 + 16]
+                                )[0]
+                                return "RGB" if bits == 24 else f"RGB{bits}"
                             return comp.decode("ascii", "replace")
     return None
 

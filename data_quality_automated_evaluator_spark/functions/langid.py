@@ -57,9 +57,13 @@ _FEATURES: list[tuple[str, str, float]] = [
     # + function words
     ("pt", r"[ãõ]", 2.0),
     ("pt", r"\bnão\b|\buma\b|\bdos\b|\bdas\b|\bmas\b|\bsão\b|\btambém\b|\bem\b", 3.0),
-    # Italian: grave accents not in the fr class + function words
+    # Italian: grave accents not in the fr class + function words.
+    # Every dictionary word is ASCII-edged: RE2's \b (the DuckDB oracle
+    # dialect) is ASCII-only, so an accent-final word like "più" can
+    # never match \bword\b there while both Python backends count it —
+    # "non" carries the same everyday-Italian signal without the trap.
     ("it", r"[ìò]", 2.0),
-    ("it", r"\bil\b|\bdella\b|\bnella\b|\bche\b|\bper\b|\bsono\b|\bpiù\b|\bgli\b", 3.0),
+    ("it", r"\bil\b|\bdella\b|\bnella\b|\bche\b|\bper\b|\bsono\b|\bnon\b|\bgli\b", 3.0),
     # Japanese: hiragana + katakana (kanji scores zh; kana is the
     # ja-unique signal, and real Japanese text is kana-dominant)
     ("ja", r"[ぁ-ヿ]", 2.0),
@@ -110,7 +114,7 @@ _WORD_SETS: list[tuple[str, list[bytes], float]] = [
     ("pt", [w.encode("utf-8") for w in
             ("não", "uma", "dos", "das", "mas", "são", "também", "em")], 3.0),
     ("it", [w.encode("utf-8") for w in
-            ("il", "della", "nella", "che", "per", "sono", "più", "gli")], 3.0),
+            ("il", "della", "nella", "che", "per", "sono", "non", "gli")], 3.0),
 ]
 # bare-substring ngram features (no boundaries)
 _SUBSTR_SETS: list[tuple[str, list[bytes], float]] = [
@@ -217,6 +221,21 @@ def langid_frame(texts: pd.Series) -> pd.DataFrame:
             seg = np.searchsorted(starts, idx, side="right") - 1
             scores[:, lang_ix[lang]] += np.bincount(seg, minlength=n) * w
 
+    # Spanish inverted punctuation ¿ (C2 BF) ¡ (C2 A1): count FIRST, then
+    # neutralize the byte pair to ASCII "??" BEFORE the word-boundary
+    # pass. Under Unicode \b (regex backend) and RE2 \b (DuckDB oracles)
+    # these are NON-word characters, so "¿por qué" still boundary-matches
+    # \bpor\b — but the byte backend's word table marks every >=0x80 byte
+    # as word, which would silently eat the boundary and flip labels on
+    # ordinary Spanish text.
+    if len(buf) >= 2:
+        m_inv = (buf[:-1] == 0xC2) & ((buf[1:] == 0xBF) | (buf[1:] == 0xA1))
+        pos_inv = np.flatnonzero(m_inv)
+        add_hits("es", pos_inv, 2.0)
+        if pos_inv.size:
+            buf[pos_inv] = ord("?")
+            buf[pos_inv + 1] = ord("?")
+
     for lang, words, w in _WORD_SETS:
         for word in words:
             add_hits(lang, _word_positions(buf, _WORDCHAR, word), w)
@@ -240,9 +259,8 @@ def langid_frame(texts: pd.Series) -> pd.DataFrame:
         # CJK U+4E00–U+9FFF: 3-byte lead E4 (cont1 ≥ B8) or E5–E9
         m = ((lead == 0xE4) & (sec >= 0xB8)) | ((lead >= 0xE5) & (lead <= 0xE9))
         add_hits("zh", np.flatnonzero(m), 2.0)
-        # Spanish: ñ (C3 B1) + inverted punctuation ¿ (C2 BF) ¡ (C2 A1)
+        # Spanish: ñ (C3 B1) — ¿/¡ were counted (and neutralized) above
         m = (lead == 0xC3) & (sec == 0xB1)
-        m |= (lead == 0xC2) & ((sec == 0xBF) | (sec == 0xA1))
         add_hits("es", np.flatnonzero(m), 2.0)
         # Portuguese nasal vowels: ã (C3 A3), õ (C3 B5)
         m = (lead == 0xC3) & ((sec == 0xA3) | (sec == 0xB5))

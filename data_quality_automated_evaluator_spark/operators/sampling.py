@@ -131,8 +131,13 @@ def balanced_mix_sample(
     mixture recipe); missing strata default to the min-count target.
     """
     counts = df.groupBy(strata_col).agg(F.count("*").alias("_cnt"))
-    w = Window.partitionBy()
-    counts = counts.withColumn("_min_cnt", F.min("_cnt").over(w))
+    # global min via a broadcast 1-row cross-join: the frame is only
+    # #strata rows, but an unpartitioned Window here makes every plan
+    # that embeds this operator emit Spark's single-partition
+    # WindowExec warning — the broadcast join computes the same value
+    # warning-clean
+    gmin = counts.agg(F.min("_cnt").alias("_min_cnt"))
+    counts = counts.crossJoin(F.broadcast(gmin))
     if targets:
         tgt = "CASE " + " ".join(
             f"WHEN cast({strata_col} as string) = {_sql_quote(s)} "

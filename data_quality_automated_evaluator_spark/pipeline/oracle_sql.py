@@ -92,7 +92,7 @@ LANGID_SQL_SCORES: list[tuple[str, str]] = [
      r" + len(regexp_extract_all(__S__, '[a-z]'))*0.02"),
     ("it",
      r"len(regexp_extract_all(__S__, '[ìò]'))*2.0"
-     r" + len(regexp_extract_all(__S__, '\bil\b|\bdella\b|\bnella\b|\bche\b|\bper\b|\bsono\b|\bpiù\b|\bgli\b'))*3.0"
+     r" + len(regexp_extract_all(__S__, '\bil\b|\bdella\b|\bnella\b|\bche\b|\bper\b|\bsono\b|\bnon\b|\bgli\b'))*3.0"
      r" + len(regexp_extract_all(__S__, '[a-z]'))*0.02"),
     ("ja", r"len(regexp_extract_all(__S__, '[ぁ-ヿ]'))*2.0"),
 ]

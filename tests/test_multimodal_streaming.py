@@ -185,6 +185,33 @@ def test_raw_avi_round_trip():
     assert np.abs(px.astype(int) - flat.astype(int)).max() <= 2  # rounding only
 
 
+def test_raw_avi_rejects_non24bpp_bi_rgb():
+    """A valid BI_RGB AVI with biBitCount=32 must be refused, not
+    silently decoded as 24bpp garbage (its payload can still pass the
+    stride*h length check)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from data_quality_automated_evaluator_spark.functions.avi import (
+        AviFormatError,
+        avi_codec,
+        demux_raw_frames,
+        mux_raw_avi,
+    )
+
+    frames = [np.zeros((8, 16, 3), dtype=np.uint8)]
+    data = bytearray(mux_raw_avi(frames, fps=5, codec="rgb"))
+    strf = bytes(data).index(b"strf") + 8  # chunk id + size
+    assert struct.unpack("<H", data[strf + 14 : strf + 16])[0] == 24
+    data[strf + 14 : strf + 16] = struct.pack("<H", 32)
+    patched = bytes(data)
+    assert avi_codec(patched) == "RGB32"
+    with pytest.raises(AviFormatError):
+        list(demux_raw_frames(patched))
+
+
 def test_streaming_quality(spark, tmp_path):
     """Drive the streaming pipeline with a file source → memory sink."""
     from data_quality_automated_evaluator_spark.streaming.quality_stream import (

@@ -76,6 +76,10 @@ def test_perplexity_total_and_batch_invariant(texts):
 @given(st.lists(REALISTIC_TEXT, min_size=1, max_size=20))
 @example(["0Ü"])  # regression pin: pattern-longer-than-buffer negative slice
 @example(["le monde !", "c’est «bon»… l’idée — voilà"])  # typographic \b
+# ¿/¡ are NON-word under Unicode/RE2 \b: a dictionary word right next
+# to them ("¿el", "¡con") must still boundary-match in the byte backend
+@example(["¿el gato?", "¡con los perros!", "¿por qué pero como?"])
+@example(["¿de dónde", "¿em casa", "¿il cane"])  # ADVICE r4 label flips
 @settings(max_examples=50, deadline=None)
 def test_langid_numpy_matches_regex_spec(texts):
     """The vectorized byte-domain backend must reproduce the regex spec
