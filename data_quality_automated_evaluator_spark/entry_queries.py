@@ -3592,3 +3592,55 @@ def pii_stats_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["pii_stats_transcripts"] = _pii_stats_oracle(FIXTURE_TRANSCRIPTS)
+
+
+@register(
+    "iceberg_roundtrip_documents",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def iceberg_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE Iceberg path (reference utility/handle_data.py:109 reads its
+    production input via pl.scan_iceberg): the documents table is
+    committed to a real Iceberg v2 table on disk — identity-partitioned
+    by lang, TWO snapshots (create + append) so the manifest-list merge
+    path runs — then read back snapshot-consistently through the
+    metadata walk (sources/iceberg_lite.py: version-hint -> metadata
+    JSON -> Avro manifests -> pruned file list -> distributed parquet
+    scan) and aggregated. The oracle aggregates the original parquet
+    directly, so a single lost/duplicated row, a mis-restored partition
+    value, or a snapshot that leaks prior files all hash-mismatch."""
+    import atexit
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .sources.iceberg_lite import read_iceberg, write_iceberg
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    loc = os.path.join(
+        tempfile.gettempdir(), f"iceberg_docs_{tag}_{os.getpid()}"
+    )
+    # fresh table per process; the returned DataFrame reads these files
+    # lazily, so cleanup is deferred to process exit (same lifecycle as
+    # the incremental-dedup store above)
+    shutil.rmtree(loc, ignore_errors=True)
+    atexit.register(shutil.rmtree, loc, ignore_errors=True)
+    write_iceberg(
+        docs.filter("doc_id % 2 = 0"), loc,
+        partition_by=["lang"], mode="overwrite",
+    )
+    write_iceberg(docs.filter("doc_id % 2 = 1"), loc, mode="append")
+    t = read_iceberg(spark, loc)
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )

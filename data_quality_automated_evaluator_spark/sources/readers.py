@@ -212,7 +212,16 @@ def read_source(spark: SparkSession, source: dict) -> DataFrame:
     if "table" in source or source.get("file_format") == "iceberg":
         tbl = source.get("table") or source.get("path") or source.get("file_path")
         if "/" in str(tbl):
-            df = spark.read.format("iceberg").load(str(tbl))
+            try:
+                df = spark.read.format("iceberg").load(str(tbl))
+            except Exception:
+                # no Iceberg runtime jar on the classpath: fall back to
+                # the jar-less metadata reader (same spec, same pruned
+                # file list, same distributed parquet scan —
+                # sources/iceberg_lite.py)
+                from .iceberg_lite import read_iceberg
+
+                df = read_iceberg(spark, str(tbl))
         else:
             df = spark.table(str(tbl))
         return apply_schema_overrides(df, overrides)

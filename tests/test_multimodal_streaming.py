@@ -139,6 +139,34 @@ def test_sample_frames_real_mjpeg_and_fake_seam(spark, media):
     assert fake["frame_bytes"].isna().all()
 
 
+def test_sample_frames_fake_path_deterministic(spark, media):
+    """Determinism contract of the digest-fake seam (the only remaining
+    non-real video path — inter-frame codecs): frame_sha is a pure
+    function of (content bytes, frame_idx), so two independent runs —
+    and any future decoder swap-in validated against it — must emit
+    byte-identical (media_id, frame_idx, frame_sha) sets, with sha
+    derived from the blob's sha256 (never from timestamps, row order,
+    or partitioning)."""
+    import hashlib
+
+    vids = media.filter(F.col("kind") == "video")
+    a = sample_frames(vids, every_n=3).toPandas()
+    b = sample_frames(vids.repartition(7), every_n=3).toPandas()
+    key = ["media_id", "frame_idx"]
+    a = a[~a["is_real"]].sort_values(key).reset_index(drop=True)
+    b = b[~b["is_real"]].sort_values(key).reset_index(drop=True)
+    assert len(a) > 0
+    assert a[key + ["frame_sha"]].equals(b[key + ["frame_sha"]])
+    # the documented contract: fake sha = sha256(content || frame_idx)
+    src = {r["media_id"]: bytes(r["content"])
+           for r in vids.select("media_id", "content").collect()}
+    for _, r in a.iterrows():
+        expect = hashlib.sha256(
+            src[r["media_id"]] + str(int(r["frame_idx"])).encode()
+        ).hexdigest()
+        assert r["frame_sha"] == expect
+
+
 def test_raw_avi_round_trip():
     """BI_RGB mux→demux is pixel-exact; I420 is close (4:2:0 chroma
     averaging + rounding) and exact on 2x2-uniform-chroma frames."""
