@@ -691,16 +691,23 @@ def _measure_scaling(data_path: str, scale_path: str) -> None:
     # finishes in ~10s per run and per-run scheduling/steal noise
     # dominates the ratio; ~25s runs put both sides in steady state.
     tps: dict[int, float] = {}
+    if _left() < 200.0:
+        # not enough budget for even one attempt — emit what exists
+        # rather than start a pair the alarm would cut mid-window
+        RESULT.setdefault("scaling", {})["skipped"] = "budget"
+        return
     attempts_4_16 = _gated_pair_attempts(
         data_path,
         hw_args=(4, "0-3", 16, "4-19"),
         pair_kw=dict(
             n_small=4, n_big=16, cpus_small="0-3",
-            cpus_big="4-19", runs_small=2, runs_big=6,
-            # 8 waves at 16 slots: at the default 64 partitions the
-            # big side runs only 4 waves, so one straggler idles 15
-            # slots; the small side amortizes over 16+ waves either
-            # way (A/B: +0.03 eff, same plan on both sides)
+            cpus_big="4-19", runs_small=2, runs_big=10,
+            # runs_big sized so both timed windows fully overlap (see
+            # the 2|8 note below). 8 waves at 16 slots: at the default
+            # 64 partitions the big side runs only 4 waves, so one
+            # straggler idles 15 slots; the small side amortizes over
+            # 16+ waves either way (A/B: +0.03 eff, same plan on both
+            # sides)
             partitions=128,
         ),
         max_attempts=4, want_clean=2,
@@ -721,8 +728,20 @@ def _measure_scaling(data_path: str, scale_path: str) -> None:
         hw_control_efficiency_4_to_16=round(hw_eff_4_16, 3),
     )
 
+    if _left() < 180.0:
+        RESULT["scaling"]["pair_2_8_skipped"] = "budget"
+        return
+    # run counts size both sides' timed windows to FULLY overlap
+    # (small: 2 warm + 2 runs ≈ big: 2 warm + runs_big runs): if the
+    # big side finishes early, the small side's tail runs with the
+    # other CPU set idle — less memory-bandwidth contention than a
+    # real cluster would ever grant it — and the measured efficiency
+    # is deflated by construction (observed big-side windows ending
+    # ~50-80s before the small side's under the previous run counts)
     attempts_2_8 = _gated_pair_attempts(
-        scale_path, hw_args=(2, "0-1", 8, "2-9"), pair_kw={},
+        scale_path,
+        hw_args=(2, "0-1", 8, "2-9"),
+        pair_kw=dict(runs_small=2, runs_big=11),
         max_attempts=4, want_clean=2,
         reserve_sec=0.0,
     )

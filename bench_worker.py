@@ -71,6 +71,12 @@ def main() -> None:
 
     if partitions <= 0:
         partitions = max(cores * 4, 32)
+    # A/B lever: the post-shuffle (conversation-window) stage gets
+    # AQE-coalesced to ~core-count partitions by default; 0 keeps the
+    # full fixed partition count there so the reduce stage runs the
+    # same multi-wave balance as the map stage
+    if os.environ.get("SPARK_GRAFT_COALESCE") == "0":
+        extra["spark.sql.adaptive.coalescePartitions.enabled"] = "false"
     spark = get_spark(
         app_name=f"bench-worker-{spec}",
         master=master,
