@@ -511,9 +511,14 @@ def _compact_line() -> str:
         # value == pipeline turns_per_sec; cold time + demonstration
         # legs live in the sidecar
         pipe = result.get("pipeline") or {}
+        # the cold time also ends in _sec but lives in the sidecar; with
+        # 77 queries those 28 chars were exactly what pushed the line
+        # past 1950 and cost the whole query map (observed 1952 → the
+        # pointer fallback)
         result["pipeline"] = {
             k: v for k, v in pipe.items()
-            if k == "n_turns" or k.endswith("_sec")
+            if k == "n_turns"
+            or (k.endswith("_sec") and not k.endswith("_sec_cold"))
         }
         scaling = result.get("scaling") or {}
         if scaling:
@@ -535,6 +540,14 @@ def _compact_line() -> str:
         ),
         lambda: result.update(
             queries={k: round(v, 1) for k, v in _short_names(queries_sec).items()}
+        ),
+        # hw_norm_* are sidecar-derivable (eff / hw_control) — cheaper
+        # to lose than any query timing
+        lambda: result.update(
+            scaling={
+                k: v for k, v in (result.get("scaling") or {}).items()
+                if not k.startswith("hw_norm")
+            }
         ),
         lambda: result.update(queries={"see": "BENCH_full.json"}),
     ):
