@@ -261,6 +261,7 @@ def iceberg_files(
                     "file_path": _resolve_path(location, df_rec["file_path"]),
                     "partition": part,
                     "record_count": df_rec["record_count"],
+                    "file_size": df_rec.get("file_size_in_bytes", 0),
                     "snapshot_id": e.get("snapshot_id"),
                 }
             )
@@ -328,6 +329,12 @@ def read_iceberg(
     for key, paths in groups.items():
         g = spark.read.parquet(*paths)
         for k, v in key:
+            if spark_type.get(k) == "date" and isinstance(v, int):
+                # spec encoding: days from epoch → a typed date literal
+                # (an int literal cast to date would be NULL)
+                import datetime as _dt
+
+                v = _dt.date(1970, 1, 1) + _dt.timedelta(days=v)
             g = g.withColumn(k, F.lit(v).cast(spark_type.get(k, "string")))
         parts.append(g.select(*select))
     out = parts[0]
@@ -401,7 +408,15 @@ def _partition_spec(
 def _coerce_part_value(raw: str, result_type: str):
     if raw == "__HIVE_DEFAULT_PARTITION__":
         return None
-    if result_type in ("int", "long", "date"):
+    if result_type == "date":
+        # spec stores dates as days from epoch (int); Spark's hive-style
+        # directory writes ISO strings (part_date=2024-01-03)
+        if raw.lstrip("-").isdigit():
+            return int(raw)
+        import datetime as _dt
+
+        return (_dt.date.fromisoformat(raw) - _dt.date(1970, 1, 1)).days
+    if result_type in ("int", "long"):
         return int(raw)
     if result_type in ("float", "double"):
         return float(raw)
@@ -421,11 +436,18 @@ def write_iceberg(
 
     ``mode='append'`` adds a snapshot keeping prior manifests (the
     resumable-ingest shape); ``mode='overwrite'`` starts the file set
-    fresh. First commit creates the table (schema from ``df``,
-    ``partition_by`` = identity column names or ``("days", ts_col)``).
-    The data write is a normal distributed partitioned-parquet job; only
-    the metadata commit is driver-side.
+    fresh; ``mode='overwrite_partitions'`` is dynamic partition
+    overwrite — partitions present in ``df`` replace their prior files,
+    all other partitions are carried forward (the idempotent
+    re-run-a-partition shape; prior snapshots keep their own manifest
+    lists, so time travel still sees the replaced files). First commit
+    creates the table (schema from ``df``, ``partition_by`` = identity
+    column names or ``("days", ts_col)``). The data write is a normal
+    distributed partitioned-parquet job; only the metadata commit is
+    driver-side.
     """
+    if mode not in ("append", "overwrite", "overwrite_partitions"):
+        raise ValueError(f"unknown write_iceberg mode {mode!r}")
     import pyarrow.parquet as pq
 
     spark = df.sparkSession
@@ -497,15 +519,32 @@ def write_iceberg(
             )
 
     # --- metadata commit ---
+    # dynamic partition overwrite: files of partitions NOT being replaced
+    # are carried into the new snapshot's (consolidated) manifest as
+    # EXISTING entries; replaced partitions' files simply don't appear
+    # (prior snapshots still reference them via their own manifest lists)
+    carried: list[dict] = []
+    if mode == "overwrite_partitions" and meta is not None:
+        new_parts = {
+            tuple(sorted(f["partition"].items())) for f in new_files
+        }
+        carried = [
+            f for f in iceberg_files(location)
+            if tuple(sorted(f["partition"].items())) not in new_parts
+        ]
+
     snapshot_id = int(time.time() * 1000) * 1000 + version + 1
     seq = (meta.get("last-sequence-number", 0) if meta else 0) + 1
     mdir = _metadata_dir(location)
     manifest_path = os.path.join(mdir, f"{uuid.uuid4().hex}-m0.avro")
     entry_schema = _manifest_entry_schema(spec_fields)
-    entries = [
-        {
-            "status": 1,  # ADDED
-            "snapshot_id": snapshot_id,
+
+    def _entry(f: dict, status: int) -> dict:
+        return {
+            "status": status,
+            "snapshot_id": snapshot_id if status == 1 else (
+                f.get("snapshot_id") or snapshot_id
+            ),
             "sequence_number": seq,
             "file_sequence_number": seq,
             "data_file": {
@@ -517,7 +556,10 @@ def write_iceberg(
                 "file_size_in_bytes": f["file_size"],
             },
         }
-        for f in new_files
+
+    entries = [
+        *(_entry(f, 1) for f in new_files),   # ADDED
+        *(_entry(f, 0) for f in carried),     # EXISTING
     ]
     spec_json = json.dumps(
         {
@@ -547,10 +589,10 @@ def write_iceberg(
         "min_sequence_number": seq,
         "added_snapshot_id": snapshot_id,
         "added_files_count": len(new_files),
-        "existing_files_count": 0,
+        "existing_files_count": len(carried),
         "deleted_files_count": 0,
         "added_rows_count": sum(f["record_count"] for f in new_files),
-        "existing_rows_count": 0,
+        "existing_rows_count": sum(f["record_count"] for f in carried),
         "deleted_rows_count": 0,
         "partitions": None,
     }
