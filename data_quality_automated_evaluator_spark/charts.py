@@ -272,6 +272,20 @@ def render_jpeg(
     return path
 
 
+def render_webp(
+    data: pd.DataFrame, evaluations: list[ColumnEvaluation], path: str
+) -> str:
+    """Lossless WebP chart export (reference plot.py:67-71 format
+    parity) via the stdlib VP8L codec (functions/webp.py) over the
+    shared rasterizer — LZ77 runs over the flat chart background make
+    this the smallest raster export of the set."""
+    from .functions.webp import encode_webp
+
+    with open(path, "wb") as fh:
+        fh.write(encode_webp(_render_canvas(data, evaluations)))
+    return path
+
+
 def render_pdf(
     data: pd.DataFrame, evaluations: list[ColumnEvaluation], path: str
 ) -> str:
@@ -328,10 +342,11 @@ def make_charts(
     """Render charts for one column group; returns the artifact path.
 
     ``fmt``: "png" (matplotlib, stdlib fallback), "jpeg" (stdlib
-    baseline encoder), "pdf" (DCTDecode-embedded page), "svg" (stdlib),
-    or "json" (data only); default picks png when matplotlib is
-    available, else svg. Of the reference's export set
-    (png/jpeg/webp/svg/pdf, plot.py:67-71) only webp remains absent.
+    baseline encoder), "webp" (stdlib VP8L lossless), "pdf"
+    (DCTDecode-embedded page), "svg" (stdlib), or "json" (data only);
+    default picks png when matplotlib is available, else svg. The
+    reference's full export set (png/jpeg/webp/svg/pdf, plot.py:67-71)
+    is now covered.
     """
     os.makedirs(out_dir, exist_ok=True)
     x = data[TIME_INTERVAL_COL]
@@ -340,6 +355,10 @@ def make_charts(
     if fmt in ("jpeg", "jpg"):
         return render_jpeg(
             data, evaluations, os.path.join(out_dir, f"{group_name}.jpeg")
+        )
+    if fmt == "webp":
+        return render_webp(
+            data, evaluations, os.path.join(out_dir, f"{group_name}.webp")
         )
     if fmt == "pdf":
         return render_pdf(

@@ -43,13 +43,21 @@ IMAGE_META_SCHEMA = (
 
 
 def decode_image_meta(content: bytes | None) -> tuple[str | None, int | None, int | None]:
-    """Header-only decode: (mime, width, height) for PNG/JPEG/GIF bytes.
+    """Header-only decode: (mime, width, height) for PNG/JPEG/GIF/WebP
+    bytes.
 
     Real decode seam — replace with Pillow for full decoding. Header
     parsing is deterministic and dependency-free.
     """
     if not content:
         return (None, None, None)
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        from ..functions.webp import webp_meta
+
+        wh = webp_meta(content)
+        if wh is not None:
+            return ("image/webp", wh[0], wh[1])
+        return ("image/webp", None, None)
     if content[:8] == b"\x89PNG\r\n\x1a\n" and len(content) >= 24:
         w, h = struct.unpack(">II", content[16:24])
         return ("image/png", int(w), int(h))
@@ -189,9 +197,11 @@ def _features_from_pixels(img: np.ndarray) -> list[float]:
 
 
 def _decode_pixels(content: bytes) -> np.ndarray | None:
-    """Decode PNG or baseline JPEG bytes to pixels; None if neither."""
+    """Decode PNG, baseline JPEG, or lossless-WebP bytes to pixels;
+    None for anything else."""
     from ..functions.jpeg import decode_jpeg
     from ..functions.png import decode_png
+    from ..functions.webp import decode_webp
 
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         try:
@@ -201,6 +211,11 @@ def _decode_pixels(content: bytes) -> np.ndarray | None:
     if content[:2] == b"\xff\xd8":
         try:
             return decode_jpeg(content)
+        except Exception:
+            return None
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        try:
+            return decode_webp(content)
         except Exception:
             return None
     return None
@@ -216,9 +231,9 @@ def _png_pixel_features(content: bytes) -> list[float] | None:
 
 
 def extract_features(df: DataFrame, content_col: str = "content", id_col: str = "media_id") -> DataFrame:
-    """Feature extraction, map-only. REAL for decodable PNGs and baseline
-    JPEGs (per-channel mean/std + luminance histogram from actual
-    pixels); every other format falls back to the deterministic
+    """Feature extraction, map-only. REAL for decodable PNGs, baseline
+    JPEGs, and lossless WebPs (per-channel mean/std + luminance
+    histogram from actual pixels); every other format falls back to the deterministic
     digest-derived fake — the honest seam for a vision/audio encoder
     (model weights would be broadcast; batches sized by Arrow limits)."""
 
