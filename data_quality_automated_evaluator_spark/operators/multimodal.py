@@ -262,16 +262,21 @@ def resize_image(df: DataFrame, width: int, height: int,
     ``functions/png.py``: zlib inflate, all five scanline unfilters,
     nearest-neighbor resample, re-encode) AND baseline JPEG
     (``functions/jpeg.py``: full entropy decode → resample → re-encode,
-    format preserved); other formats yield a NULL content with the
+    format preserved) AND lossless WebP (``functions/webp.py``: VP8L
+    decode → resample → VP8L re-encode); other formats yield a NULL content with the
     reason in ``error`` — a malformed or unsupported file must never
     kill the task (quality-evaluator contract), and a codec library
     (Pillow) widens format support by replacing one function body."""
     from ..functions.jpeg import JpegFormatError, resize_jpeg
     from ..functions.png import PngFormatError, resize_png
+    from ..functions.webp import WebpFormatError, decode_webp, encode_webp
+    from ..functions.png import resize_nearest
 
     def _resize_one(c: bytes) -> bytes:
         if c[:2] == b"\xff\xd8":
             return resize_jpeg(c, width, height)
+        if c[:4] == b"RIFF" and c[8:12] == b"WEBP":
+            return encode_webp(resize_nearest(decode_webp(c), width, height))
         return resize_png(c, width, height)
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -286,7 +291,7 @@ def resize_image(df: DataFrame, width: int, height: int,
                 try:
                     out_bytes.append(_resize_one(bytes(c)))
                     errors.append(None)
-                except (PngFormatError, JpegFormatError) as ex:
+                except (PngFormatError, JpegFormatError, WebpFormatError) as ex:
                     out_bytes.append(None)
                     errors.append(str(ex))
                 except Exception as ex:  # malformed beyond recognition

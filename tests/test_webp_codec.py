@@ -150,6 +150,25 @@ def test_render_webp_chart_without_matplotlib(tmp_path):
     assert grey_rows > 20
 
 
+def test_spark_resize_webp_real_and_dirty(spark):
+    from data_quality_automated_evaluator_spark.operators.multimodal import (
+        resize_image,
+    )
+
+    good = encode_webp(_img(24, 16, 3, seed=5))
+    lossy = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"VP8 " + struct.pack("<I", 0)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(lossy))],
+        "media_id long, content binary",
+    )
+    out = {r["media_id"]: r for r in resize_image(df, 8, 6).collect()}
+    assert out[1]["error"] is None
+    resized = decode_webp(bytes(out[1]["content"]))
+    assert resized.shape == (6, 8, 3)
+    # unsupported lossy VP8 yields an error row, never a task failure
+    assert out[2]["content"] is None and out[2]["error"] is not None
+
+
 def test_multimodal_webp_meta_and_real_features(spark):
     from data_quality_automated_evaluator_spark.operators.multimodal import (
         _features_from_pixels,
