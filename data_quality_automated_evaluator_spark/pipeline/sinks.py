@@ -373,7 +373,7 @@ class QualitySink:
                 stats = combine_rule_partials(
                     spark.read.parquet(self._partials_dir(time_interval))
                 )
-                stats.write.mode("overwrite").parquet(self.stats_dir)
+                self._write_stats(stats)
             return {"processed_partitions": 0, "skipped_partitions": len(done),
                     "n_turns": 0, "n_keep": 0, "n_null_ts": n_null_ts}
 
@@ -429,7 +429,7 @@ class QualitySink:
         # granularities in one artifact
         self._sync_partials(spark, time_interval, nonzero_done)
         stats = combine_rule_partials(spark.read.parquet(pdir))
-        stats.write.mode("overwrite").parquet(self.stats_dir)
+        self._write_stats(stats)
         # ledger metrics: counts and scrubbed-char sums come from the
         # partials just written (metadata-sized — #dates × #buckets rows,
         # never the fact table); only the exact distinct-conversation
@@ -478,6 +478,7 @@ class QualitySink:
         # re-checked cheaply at the top of each run and reprocessed when
         # their data arrives late, so backfill still works.
         by_date = {str(row["part_date"]): row for row in metrics}
+        batch_entries: list[dict] = []
         for part in pending:
             row = by_date.get(part)
             entry = {
@@ -493,8 +494,10 @@ class QualitySink:
                 "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
             self._write_ledger_entry(entry)
+            batch_entries.append(entry)
             total_turns += entry["n_turns"]
             total_keep += entry["n_keep"]
+        self._write_lineage(spark, batch_entries)
 
         return {
             "processed_partitions": len(pending),
@@ -513,6 +516,15 @@ class QualitySink:
         out.write.mode("overwrite").partitionBy("part_date").parquet(
             self.turns_dir
         )
+
+    def _write_stats(self, stats: DataFrame) -> None:
+        """Publish the combined interval-stats artifact (full refresh —
+        it is metadata-sized: #buckets × #rule columns)."""
+        stats.write.mode("overwrite").parquet(self.stats_dir)
+
+    def _write_lineage(self, spark: SparkSession, entries: list[dict]) -> None:
+        """Hook for a queryable lineage artifact; the per-date JSON
+        ledger written above is the base sink's (driver-local) record."""
 
     def read_turns(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.turns_dir)
@@ -553,13 +565,78 @@ class IcebergQualitySink(QualitySink):
     def _write_turns(self, out: DataFrame) -> None:
         from ..sources.iceberg_lite import write_iceberg as _wi
 
-        _wi(out, self.turns_dir, partition_by=["part_date"],
-            mode="overwrite_partitions")
+        self._last_turns_snapshot = _wi(
+            out, self.turns_dir, partition_by=["part_date"],
+            mode="overwrite_partitions",
+        )
 
     def read_turns(self, spark: SparkSession) -> DataFrame:
         from ..sources.iceberg_lite import read_iceberg as _ri
 
         return _ri(spark, self.turns_dir)
+
+    def _write_stats(self, stats: DataFrame) -> None:
+        """The combined interval stats are an Iceberg table too (north
+        rule: "writes ... per-rule quality statistics aggregated by
+        groupBy over time intervals ... to Iceberg"): full-refresh
+        overwrite per batch, so every batch's stats state is a
+        time-travelable snapshot."""
+        from ..sources.iceberg_lite import write_iceberg as _wi
+
+        _wi(stats, self.stats_dir, partition_by=[], mode="overwrite")
+
+    def _write_lineage(self, spark: SparkSession, entries: list[dict]) -> None:
+        """Per-partition lineage + metrics as an append-only Iceberg
+        table at ``<root>/lineage`` — one appended snapshot per batch.
+        Each row links a completed ``part_date`` to the exact turns-table
+        snapshot that committed it (``turns_snapshot_id``), so an auditor
+        can time-travel the fact table to the state any metric row
+        describes. The JSON ledger stays the driver-local resume index;
+        this table is the queryable record."""
+        if not entries:
+            return
+        import json as _json
+
+        from ..sources.iceberg_lite import write_iceberg as _wi
+
+        snap = getattr(self, "_last_turns_snapshot", None)
+        rows = [
+            (
+                e["part_date"],
+                int(e["n_turns"]),
+                int(e["n_keep"]),
+                int(e["n_convs"]),
+                int(e["scrubbed_chars"]),
+                float(e["run_wall_sec"]),
+                _json.dumps(e["thresholds"], sort_keys=True),
+                e["completed_at"],
+                snap,
+            )
+            for e in entries
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "part_date string, n_turns long, n_keep long, n_convs long, "
+            "scrubbed_chars long, run_wall_sec double, thresholds string, "
+            "completed_at string, turns_snapshot_id long",
+        )
+        _wi(df.coalesce(1), self.lineage_dir, partition_by=[], mode="append")
+
+    @property
+    def lineage_dir(self) -> str:
+        return os.path.join(self.root, "lineage")
+
+    def read_lineage(self, spark: SparkSession) -> DataFrame:
+        from ..sources.iceberg_lite import read_iceberg as _ri
+
+        return _ri(spark, self.lineage_dir)
+
+    def read_stats_table(self, spark: SparkSession) -> DataFrame:
+        """The published stats artifact (vs ``read_stats``, which folds
+        partials on the fly)."""
+        from ..sources.iceberg_lite import read_iceberg as _ri
+
+        return _ri(spark, self.stats_dir)
 
 
 def write_iceberg(result: DataFrame, table: str) -> None:

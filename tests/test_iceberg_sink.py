@@ -146,6 +146,48 @@ def test_iceberg_sink_resume_snapshots_and_time_travel(
     assert len(snapshots(part.turns_dir)) == 2
 
 
+def test_iceberg_lineage_and_stats_tables(spark, sdf, tmp_path_factory):
+    """North-rule literal: per-partition lineage + metrics and the
+    interval stats are themselves Iceberg tables. Lineage appends one
+    snapshot per batch, each row carries the turns-table snapshot id
+    that committed its partition (time-travel the fact table to the
+    exact state a metric row describes); the stats table is a
+    full-refresh snapshot per batch."""
+    import json
+
+    sink = IcebergQualitySink(str(tmp_path_factory.mktemp("ib_lin")))
+    s1 = sink.run(sdf, batch_days=2)
+    s2 = sink.run(sdf)
+    assert s1["processed_partitions"] == 2 and s2["processed_partitions"] > 0
+
+    lin = sink.read_lineage(spark).toPandas()
+    # one row per completed partition, metrics agreeing with the ledger
+    entries = sink.ledger_entries()
+    assert sorted(lin["part_date"]) == sorted(entries)
+    for _, row in lin.iterrows():
+        led = entries[row["part_date"]]
+        assert int(row["n_turns"]) == led["n_turns"]
+        assert int(row["n_keep"]) == led["n_keep"]
+        assert json.loads(row["thresholds"]) == led["thresholds"]
+    # one appended lineage snapshot per batch
+    assert len(snapshots(sink.lineage_dir)) == 2
+    # each lineage row names the turns snapshot that committed it, and
+    # time-traveling the fact table there shows that partition present
+    turn_snaps = {s["snapshot-id"] for s in snapshots(sink.turns_dir)}
+    assert set(lin["turns_snapshot_id"]) <= turn_snaps
+    batch1_snap = int(lin["turns_snapshot_id"].min())
+    early = read_iceberg(spark, sink.turns_dir, snapshot_id=batch1_snap)
+    assert early.select("part_date").distinct().count() == 2
+
+    # the stats artifact is an Iceberg table matching the partials fold
+    st = sink.read_stats_table(spark).toPandas().sort_values("__time_interval")
+    sf = sink.read_stats(spark).toPandas().sort_values("__time_interval")
+    assert (st.values == sf.values).all()
+    assert os.path.exists(
+        os.path.join(sink.stats_dir, "metadata", "version-hint.text")
+    )
+
+
 def test_iceberg_sink_partition_rerun_no_duplicates(
     spark, sdf, tmp_path_factory
 ):
