@@ -76,12 +76,20 @@ def _run_evaluator_inner(spark: SparkSession, config: dict) -> str | None:
 
 def run_quality_filter(spark: SparkSession, config: dict) -> dict:
     from .pipeline.rules import Thresholds
-    from .pipeline.sinks import QualitySink
+    from .pipeline.sinks import IcebergQualitySink, QualitySink
     from .sources.readers import read_source
 
     df = read_source(spark, config["source"])
     thresholds = Thresholds(**config.get("thresholds", {}))
-    sink = QualitySink(config["output_root"])
+    # "sink_format": "iceberg" commits turns/stats/lineage as Iceberg
+    # tables (snapshots + time travel); default stays partitioned parquet
+    sink_format = str(config.get("sink_format", "parquet")).lower()
+    if sink_format == "iceberg":
+        sink: QualitySink = IcebergQualitySink(config["output_root"])
+    elif sink_format == "parquet":
+        sink = QualitySink(config["output_root"])
+    else:
+        raise ValueError(f"unknown sink_format {sink_format!r}")
     return sink.run(
         df,
         thresholds=thresholds,

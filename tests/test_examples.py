@@ -51,3 +51,30 @@ def test_quality_filter_example_runs(spark, tmp_path, path):
     # the sink wrote labeled turns + stats + ledger
     assert os.path.isdir(cfg["output_root"])
     assert any("turns" in d for d in os.listdir(cfg["output_root"]))
+
+
+@pytest.mark.parametrize(
+    "path", QUALITY_EXAMPLES, ids=[os.path.basename(p) for p in QUALITY_EXAMPLES]
+)
+def test_quality_filter_example_iceberg_sink(spark, tmp_path, path):
+    """`"sink_format": "iceberg"` switches the same config to the
+    Iceberg-committed sink: identical summary, plus turns/stats/lineage
+    as real Iceberg tables."""
+    from data_quality_automated_evaluator_spark.sources.iceberg_lite import snapshots
+    from data_quality_automated_evaluator_spark.testdata import write_transcripts_parquet
+
+    src = str(tmp_path / "transcripts.parquet")
+    write_transcripts_parquet(src, n_convs=200, seed=5)
+
+    cfg = json.load(open(path))
+    cfg["source"]["file_path"] = src
+    cfg["output_root"] = str(tmp_path / "out_ice")
+    cfg["sink_format"] = "iceberg"
+    summary = run_quality_filter(spark, cfg)
+    assert summary["n_turns"] > 0
+    for table in ("turns", "stats", "lineage"):
+        assert snapshots(os.path.join(cfg["output_root"], table)), table
+
+    cfg["sink_format"] = "bogus"
+    with pytest.raises(ValueError, match="sink_format"):
+        run_quality_filter(spark, cfg)
