@@ -27,6 +27,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .observability import attach_quality_observation
 from .quality import (
     combine_rule_partials,
     interval_rule_partials,
@@ -398,8 +399,13 @@ class QualitySink:
         # one pass writes the combined per-turn artifact (labels + scrub);
         # dynamic partition overwrite keeps partition re-runs idempotent.
         # repartition by part_date so each date directory gets one writer
-        # (no small-files explosion: tasks × dates files otherwise)
+        # (no small-files explosion: tasks × dates files otherwise).
+        # Drop-reason telemetry rides this same write action as observed
+        # metrics — per-rule failure counts at 100 TB without a second
+        # pass over the input (pipeline/observability.py).
+        out, run_obs = attach_quality_observation(out, name=f"sink_run_{uuid.uuid4().hex[:8]}")
         self._write_turns(out.repartition("part_date"))
+        observed = run_obs.get
 
         # stats + per-partition metrics from the WRITTEN output (cheap,
         # column-pruned re-read of compact parquet, never the raw input).
@@ -506,6 +512,14 @@ class QualitySink:
             "n_keep": total_keep,
             "n_null_ts": n_null_ts,
             "wall_sec": round(wall, 3),
+            # drop-reason attribution for THIS batch, observed on the
+            # write action itself (not derivable from the ledger, which
+            # folds per-date totals only)
+            # sum() observes NULL on an all-empty batch (late-date recheck
+            # runs where every pending date turned out empty) — report 0
+            "rule_failures": {
+                r: int(observed.get(f"fail_{r}") or 0) for r in RULE_NAMES
+            },
         }
 
     def _write_turns(self, out: DataFrame) -> None:
