@@ -332,6 +332,43 @@ def render_pdf(
     return path
 
 
+def render_eps(
+    data: pd.DataFrame, evaluations: list[ColumnEvaluation], path: str
+) -> str:
+    """EPS chart export (the last of the reference's kaleido static
+    formats, plot.py:67-71: png/jpeg/webp/svg/pdf/eps): a Level-2
+    PostScript ``colorimage`` whose hex payload is the shared raster,
+    top row first via the ``[W 0 0 -H 0 H]`` image matrix. Pure stdlib,
+    deterministic, DSC-compliant (%%BoundingBox, hex lines < 255
+    chars), so any PostScript interpreter renders it as-is."""
+    import binascii
+
+    canvas = _render_canvas(data, evaluations)
+    h, w = canvas.shape[:2]
+    hexdata = binascii.hexlify(canvas.tobytes()).decode("ascii")
+    lines = [
+        "%!PS-Adobe-3.0 EPSF-3.0",
+        f"%%BoundingBox: 0 0 {w} {h}",
+        "%%Pages: 1",
+        "%%LanguageLevel: 2",
+        "%%EndComments",
+        "%%Page: 1 1",
+        "gsave",
+        f"/picstr {w * 3} string def",
+        f"{w} {h} scale",
+        f"{w} {h} 8 [{w} 0 0 -{h} 0 {h}]",
+        "{currentfile picstr readhexstring pop} false 3 colorimage",
+        *[hexdata[i : i + 76] for i in range(0, len(hexdata), 76)],
+        "grestore",
+        "showpage",
+        "%%EOF",
+        "",
+    ]
+    with open(path, "w", encoding="ascii") as fh:
+        fh.write("\n".join(lines))
+    return path
+
+
 def make_charts(
     data: pd.DataFrame,
     evaluations: list[ColumnEvaluation],
@@ -343,10 +380,10 @@ def make_charts(
 
     ``fmt``: "png" (matplotlib, stdlib fallback), "jpeg" (stdlib
     baseline encoder), "webp" (stdlib VP8L lossless), "pdf"
-    (DCTDecode-embedded page), "svg" (stdlib), or "json" (data only);
-    default picks png when matplotlib is available, else svg. The
-    reference's full export set (png/jpeg/webp/svg/pdf, plot.py:67-71)
-    is now covered.
+    (DCTDecode-embedded page), "eps" (Level-2 colorimage), "svg"
+    (stdlib), or "json" (data only); default picks png when matplotlib
+    is available, else svg. The reference's full static export set
+    (png/jpeg/webp/svg/pdf/eps, plot.py:67-71) is covered.
     """
     os.makedirs(out_dir, exist_ok=True)
     x = data[TIME_INTERVAL_COL]
@@ -363,6 +400,10 @@ def make_charts(
     if fmt == "pdf":
         return render_pdf(
             data, evaluations, os.path.join(out_dir, f"{group_name}.pdf")
+        )
+    if fmt == "eps":
+        return render_eps(
+            data, evaluations, os.path.join(out_dir, f"{group_name}.eps")
         )
     if fmt == "png" and not HAVE_MPL:
         # real PNG without matplotlib: the stdlib rasterizer (series +

@@ -440,3 +440,43 @@ def test_charts_pdf_export(tmp_path):
     jpg = raw[start : start + int(m.group(1))]
     img = decode_jpeg(jpg)
     assert img.shape == (170, 720, 3)
+
+
+def test_charts_eps_export(tmp_path):
+    """fmt='eps' emits a DSC-compliant Level-2 PostScript colorimage
+    whose hex payload round-trips byte-exactly to the shared raster."""
+    import binascii
+
+    import numpy as np
+    import pandas as pd
+
+    from data_quality_automated_evaluator_spark import charts as ch
+    from data_quality_automated_evaluator_spark.operators.evaluate import ColumnEvaluation
+
+    data = pd.DataFrame(
+        {"__time_interval": ["a", "b", "c"], "x": [1.0, 3.0, 2.0]}
+    )
+    ev = ColumnEvaluation(
+        column="x", title="x", mean=2.0, std=1.0, q1=1.5, q3=2.5, min=1.0,
+        max=3.0, iqr_lb=0.0, iqr_ub=4.0, n_intervals=3, n_outliers_iqr=0,
+        pct_outliers_iqr=0.0, n_outliers_zscore=0, pct_outliers_zscore=0.0,
+        chart_bounds=(0.5, 2.5),
+    )
+    path = ch.make_charts(data, [ev], str(tmp_path), "g", fmt="eps")
+    assert path.endswith(".eps")
+    text = open(path, encoding="ascii").read()
+    lines = text.split("\n")
+    assert lines[0] == "%!PS-Adobe-3.0 EPSF-3.0"
+    assert lines[1].startswith("%%BoundingBox: 0 0 ")
+    w, h = (int(v) for v in lines[1].split()[-2:])
+    assert max(len(ln) for ln in lines) < 255  # DSC line-length limit
+    hex_part = "".join(
+        ln for ln in lines if ln and all(c in "0123456789abcdef" for c in ln)
+    )
+    raster = np.frombuffer(
+        binascii.unhexlify(hex_part), dtype=np.uint8
+    ).reshape(h, w, 3)
+    expected = ch._render_canvas(data, [ev])
+    assert (w, h) == (expected.shape[1], expected.shape[0])
+    assert np.array_equal(raster, expected)
+    assert text.rstrip().endswith("%%EOF")
