@@ -652,6 +652,39 @@ class IcebergQualitySink(QualitySink):
 
         return _ri(spark, self.stats_dir)
 
+    def maintain(
+        self,
+        keep_last_snapshots: int = 7,
+        orphans_older_than_ms: int | None = 3 * 86_400 * 1000,
+        dry_run: bool = False,
+    ) -> dict:
+        """Table maintenance across all three Iceberg tables: expire old
+        snapshots (reclaiming the data files each day's dynamic partition
+        overwrite replaced — without this a daily pipeline's storage
+        grows with history, not with data) and sweep orphans left by
+        aborted writes. Returns per-table summaries. Run it after the
+        batch cadence (e.g. weekly with ``keep_last_snapshots=7`` to keep
+        a week of time travel)."""
+        from ..sources.iceberg_lite import expire_snapshots, remove_orphan_files
+
+        out: dict = {}
+        for name, loc in (
+            ("turns", self.turns_dir),
+            ("stats", self.stats_dir),
+            ("lineage", self.lineage_dir),
+        ):
+            try:
+                expired = expire_snapshots(
+                    loc, keep_last=keep_last_snapshots, dry_run=dry_run
+                )
+                swept = remove_orphan_files(
+                    loc, older_than_ms=orphans_older_than_ms, dry_run=dry_run
+                )
+            except FileNotFoundError:
+                continue  # table not created yet (no batch ran)
+            out[name] = {**expired, "orphans_removed": swept["orphans_removed"]}
+        return out
+
 
 def write_iceberg(result: DataFrame, table: str) -> None:
     """Iceberg sink (requires the iceberg-spark runtime on the cluster):

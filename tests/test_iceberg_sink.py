@@ -205,3 +205,41 @@ def test_iceberg_sink_partition_rerun_no_duplicates(
     assert s["processed_partitions"] == 1
     assert sink.read_turns(spark).count() == total  # no duplicate rows
     assert len(snapshots(sink.turns_dir)) == 2
+
+
+def test_sink_maintain_expires_and_sweeps(spark, sdf, tmp_path):
+    """maintain(): expire snapshots + sweep orphans on all three tables;
+    head reads are unchanged, storage for replaced partition files is
+    reclaimed, and the sink still runs (resume + append) afterwards."""
+    sink = IcebergQualitySink(str(tmp_path / "iceberg_maint"))
+    sink.run(sdf, batch_days=2)
+    sink.run(sdf)  # rest of the partitions → multiple snapshots everywhere
+    assert len(snapshots(sink.turns_dir)) >= 2
+
+    before = _read_sorted(spark, sink)
+    lineage_before = sink.read_lineage(spark).count()
+
+    # dry run reports work but changes nothing
+    dry = sink.maintain(keep_last_snapshots=1, orphans_older_than_ms=None,
+                        dry_run=True)
+    assert dry["turns"]["expired_snapshots"] >= 1
+    assert len(snapshots(sink.turns_dir)) >= 2
+
+    got = sink.maintain(keep_last_snapshots=1, orphans_older_than_ms=None)
+    assert set(got) == {"turns", "stats", "lineage"}
+    assert len(snapshots(sink.turns_dir)) == 1
+    # stats table is full-refresh overwrite per batch: expiring to 1
+    # snapshot reclaims the previous batch's entire stats file set
+    assert got["stats"]["expired_snapshots"] >= 1
+    assert got["stats"]["deleted_data_files"] >= 1
+    # _SUCCESS markers from the spark writes are swept as orphans
+    assert got["turns"]["orphans_removed"] >= 1
+
+    pd.testing.assert_frame_equal(before, _read_sorted(spark, sink))
+    assert sink.read_lineage(spark).count() == lineage_before
+    assert sink.read_stats_table(spark).count() > 0
+
+    # the sink remains fully operational: a no-new-data resume is a no-op
+    s = sink.run(sdf)
+    assert s["processed_partitions"] == 0
+    pd.testing.assert_frame_equal(before, _read_sorted(spark, sink))
