@@ -867,3 +867,31 @@ def remove_orphan_files(
                 except OSError:
                     pass
     return {"orphans_removed": len(orphans), "orphans": sorted(orphans)}
+
+
+def rollback_to_snapshot(location: str, snapshot_id: int) -> int:
+    """Roll the table's head back to ``snapshot_id`` (Iceberg
+    ``rollback_to_snapshot`` semantics): a metadata-only commit that sets
+    ``current-snapshot-id`` to a prior snapshot — no data or manifest
+    files move, and the rolled-back-over snapshots remain in history (an
+    ``expire_snapshots`` afterwards reclaims their files; until then a
+    second rollback can restore them). The recovery story for a bad
+    batch: roll back, fix, re-run."""
+    meta = load_metadata(location)
+    if not any(
+        s["snapshot-id"] == snapshot_id for s in meta.get("snapshots", [])
+    ):
+        raise ValueError(
+            f"snapshot {snapshot_id} not in table history at {location}"
+        )
+    if meta.get("current-snapshot-id") == snapshot_id:
+        return snapshot_id
+    new_meta = dict(meta)
+    new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    new_meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"snapshot-id": snapshot_id,
+         "timestamp-ms": new_meta["last-updated-ms"]}
+    ]
+    _commit_next_metadata(location, new_meta)
+    return snapshot_id

@@ -296,3 +296,54 @@ def test_remove_orphan_files(spark, tmp_path):
     assert [p for p in got["orphans"] if p.endswith(".parquet")] == [stray]
     # every referenced file survived and the table reads unchanged
     assert read_iceberg(spark, loc).count() == n_before
+
+
+def test_rollback_to_snapshot(spark, tmp_path):
+    """Metadata-only rollback: head returns to a prior snapshot, history
+    is preserved (a second rollback can restore the bad batch), a write
+    after rollback parents on the rolled-back head, and a subsequent
+    expire reclaims the orphaned bad batch's files."""
+    from data_quality_automated_evaluator_spark.sources.iceberg_lite import (
+        expire_snapshots,
+        load_metadata,
+        rollback_to_snapshot,
+    )
+
+    loc = str(tmp_path / "tbl")
+    s1 = write_iceberg(_mk_df(spark, _rows(0, 10)), loc, partition_by=["lang"])
+    s2 = write_iceberg(_mk_df(spark, _rows(10, 20)), loc)  # the "bad" batch
+    bad_files = {
+        f["file_path"] for f in iceberg_files(loc, snapshot_id=s2)
+    } - {f["file_path"] for f in iceberg_files(loc, snapshot_id=s1)}
+    assert read_iceberg(spark, loc).count() == 20
+
+    with pytest.raises(ValueError):
+        rollback_to_snapshot(loc, 424242)
+
+    assert rollback_to_snapshot(loc, s1) == s1
+    assert read_iceberg(spark, loc).count() == 10  # head is s1 again
+    meta = load_metadata(loc)
+    assert meta["current-snapshot-id"] == s1
+    # nothing deleted: both snapshots remain, the bad one is restorable
+    assert [s["snapshot-id"] for s in snapshots(loc)] == [s1, s2]
+    assert rollback_to_snapshot(loc, s2) == s2
+    assert read_iceberg(spark, loc).count() == 20
+    # back to the good head; idempotent rollback commits no new version
+    rollback_to_snapshot(loc, s1)
+    with open(os.path.join(loc, "metadata", "version-hint.text")) as f:
+        v = int(f.read().strip())
+    assert rollback_to_snapshot(loc, s1) == s1
+    with open(os.path.join(loc, "metadata", "version-hint.text")) as f:
+        assert int(f.read().strip()) == v
+
+    # fix-and-rerun: the next append parents on the rolled-back head
+    s3 = write_iceberg(_mk_df(spark, _rows(20, 25)), loc)
+    assert read_iceberg(spark, loc).count() == 15  # s1's 10 + 5, NOT s2's
+    meta = load_metadata(loc)
+    snap3 = next(s for s in meta["snapshots"] if s["snapshot-id"] == s3)
+    assert snap3["parent-snapshot-id"] == s1
+    # expiry now reclaims the bad batch's files (referenced only by s2)
+    got = expire_snapshots(loc, keep_last=1)
+    assert got["deleted_data_files"] == len(bad_files)
+    assert not any(os.path.exists(p) for p in bad_files)
+    assert read_iceberg(spark, loc).count() == 15
