@@ -3644,3 +3644,58 @@ def iceberg_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+from .operators.pq import pq_adc_oracle_sql as _pq_adc_oracle
+from .operators.pq import pq_oracle_sql as _pq_oracle
+
+
+@register("pq_codes_embeddings", oracle=_pq_oracle("embeddings", m=8, ksub=8))
+def pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantize the embedding corpus: 8 subspaces x 8-code
+    codebooks trained with one distributed Lloyd round each
+    (operators/pq.pq_train reusing kmeans_fit on slices), then every
+    vector encoded map-only in whole-stage codegen (pq_code_col) — the
+    32x-compression path that makes a 100 TB vector corpus
+    shuffle-able. The DuckDB oracle retrains identical codebooks
+    (CTE-unrolled Lloyd per subspace, same init/rounding/tie-break)
+    and re-encodes — every code of every row value-checked."""
+    from .operators.pq import pq_encode, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, m=8, ksub=8, iters=1)
+    codes = pq_encode(emb, cb)
+    return codes.select(
+        "vec_id",
+        *[
+            F.element_at("codes", s + 1).alias(f"code_{s}")
+            for s in range(8)
+        ],
+    ).orderBy("vec_id")
+
+
+@register(
+    "pq_adc_topk_embeddings",
+    oracle=_pq_adc_oracle("embeddings", query_vec_id=7, k=10, m=8, ksub=8),
+)
+def pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full PQ search chain: train -> encode -> asymmetric-distance
+    top-10 for the corpus vector vec_id=7 (read from parquet so both
+    engines see identical doubles). The m x ksub distance table is
+    driver-computed (strict left-to-right accumulation) and rides the
+    plan as a literal; scoring is a zip_with table lookup folded in
+    codegen — scan + TakeOrderedAndProject, no join, no shuffle. The
+    DuckDB oracle rebuilds codebooks, codes, AND the distance table
+    from scratch; ranking on (6dp-rounded score, vec_id) pins the
+    result set against sub-rounding engine noise."""
+    from .operators.pq import pq_adc_topk, pq_encode, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, m=8, ksub=8, iters=1)
+    codes = pq_encode(emb, cb)
+    q = (
+        emb.filter(F.col("vec_id") == 7)
+        .select(F.col("embedding").cast("array<double>").alias("q"))
+        .first()["q"]
+    )
+    return pq_adc_topk(codes, cb, list(q), k=10)
