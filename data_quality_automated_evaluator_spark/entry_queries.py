@@ -3699,3 +3699,28 @@ def pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .first()["q"]
     )
     return pq_adc_topk(codes, cb, list(q), k=10)
+
+
+from .operators.quantize import sq_oracle_sql as _sq_oracle
+
+
+@register("sq8_codes_embeddings", oracle=_sq_oracle("embeddings", dim=64))
+def sq8_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization (operators/quantize.py): per-dimension
+    affine bounds from ONE HashAggregate (2*dim agg expressions, no
+    posexplode — an exploded bounds pass would shuffle dim x corpus
+    rows), then map-only codegen encode + per-row reconstruction MSE.
+    The 4x compression feeds PQ/ANN or storage at 10^12 rows. The
+    DuckDB oracle recomputes bounds (same 6dp rounding), codes (same
+    half-away-from-zero round + clamp) and MSE — every byte of every
+    code value-checked."""
+    from .operators.quantize import sq_encode, sq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mins, maxes = sq_train(emb, dim=64)
+    out = sq_encode(emb, mins, maxes)
+    return out.select(
+        "vec_id",
+        F.concat_ws("-", F.col("codes").cast("array<string>")).alias("codes"),
+        "recon_mse",
+    ).orderBy("vec_id")

@@ -52,7 +52,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .kmeans import _sq_dist, kmeans_fit
+from .kmeans import _sq_dist, kmeans_assign_col, kmeans_fit
 
 __all__ = [
     "pq_train",
@@ -60,6 +60,7 @@ __all__ = [
     "pq_encode",
     "pq_adc_topk",
     "pq_reconstruct_col",
+    "ivfpq_topk",
     "pq_oracle_sql",
     "pq_adc_oracle_sql",
 ]
@@ -184,6 +185,40 @@ def pq_adc_topk(
         .orderBy(F.asc("adc_dist"), F.col(id_col))
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ: coarse-quantize the corpus into IVF cells (codegen
+    assignment, same pure-Catalyst argmin as kmeans), probe only the
+    ``n_probe`` cells nearest the query, and rank the survivors by ADC.
+
+    The FAISS-style scale composition: the cell filter prunes the scan
+    (on a cell-partitioned store it becomes partition pruning — see
+    similarity.ivf_write_partitioned), PQ codes shrink what's scored
+    32x, and the driver only ever holds the centroid/codebook metadata.
+    With ``n_probe = len(centroids)`` this is exactly ``pq_adc_topk``
+    (pinned by tests/test_pq.py)."""
+    if not 1 <= n_probe <= len(centroids):
+        raise ValueError(f"n_probe must be in [1, {len(centroids)}]")
+    order = sorted(
+        (( _py_sqdist(query, c), i) for i, c in enumerate(centroids)),
+    )
+    probed = [i for _, i in order[:n_probe]]
+    cell = kmeans_assign_col(centroids, F.col(vec_col).cast("array<double>"))
+    pruned = df.withColumn("_ivf_cell", cell).filter(
+        F.col("_ivf_cell").isin(probed)
+    )
+    codes = pq_encode(pruned, codebooks, vec_col=vec_col, id_col=id_col)
+    return pq_adc_topk(codes, codebooks, query, k=k, id_col=id_col)
 
 
 def pq_reconstruct_col(codebooks: list[list[list[float]]], codes: Column) -> Column:

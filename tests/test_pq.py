@@ -135,3 +135,56 @@ def test_validation(spark):
     cb = pq_train(df, m=2, ksub=2, iters=1)
     with pytest.raises(ValueError, match="query dim"):
         pq_adc_topk(pq_encode(df, cb), cb, [0.0] * 7, k=3)
+
+
+def test_ivfpq_full_probe_equals_adc(spark):
+    from data_quality_automated_evaluator_spark.operators.kmeans import kmeans_fit
+    from data_quality_automated_evaluator_spark.operators.pq import ivfpq_topk
+
+    vecs = _rand_vecs(60, 16, seed=13)
+    df = _vec_df(spark, vecs)
+    cents = kmeans_fit(df, k=4, iters=2)
+    cb = pq_train(df, m=4, ksub=8, iters=1)
+    q = vecs[5]
+    full = ivfpq_topk(df, cents, cb, q, k=8, n_probe=4).collect()
+    adc = pq_adc_topk(pq_encode(df, cb), cb, q, k=8).collect()
+    assert [(r["vec_id"], r["adc_dist"]) for r in full] == [
+        (r["vec_id"], r["adc_dist"]) for r in adc
+    ]
+
+
+def test_ivfpq_partial_probe_recall_on_clustered_data(spark):
+    from data_quality_automated_evaluator_spark.operators.kmeans import kmeans_fit
+    from data_quality_automated_evaluator_spark.operators.pq import ivfpq_topk
+
+    # four tight blobs; a 1-of-4 probe must still recover the query's
+    # own blob, so recall@8 vs exact ADC is perfect on this geometry
+    rng = np.random.RandomState(21)
+    blobs = []
+    for cx in ((0.0, 0.0), (8.0, 0.0), (0.0, 8.0), (8.0, 8.0)):
+        base = np.tile(np.array(cx * 8), (20, 1))  # 16-dim
+        blobs.append((base + rng.rand(20, 16) * 0.2).round(4))
+    vecs = np.vstack(blobs).tolist()
+    # interleave so the first-4 kmeans init spans all blobs
+    order = [i + 20 * b for i in range(20) for b in range(4)]
+    vecs = [vecs[i] for i in order]
+    df = _vec_df(spark, vecs)
+    cents = kmeans_fit(df, k=4, iters=3)
+    cb = pq_train(df, m=4, ksub=8, iters=1)
+    q = vecs[0]
+    part = ivfpq_topk(df, cents, cb, q, k=8, n_probe=1).collect()
+    exact = pq_adc_topk(pq_encode(df, cb), cb, q, k=8).collect()
+    got = {r["vec_id"] for r in part}
+    want = {r["vec_id"] for r in exact}
+    assert len(got & want) >= 7  # near-perfect recall on separable blobs
+
+
+def test_ivfpq_validation(spark):
+    from data_quality_automated_evaluator_spark.operators.pq import ivfpq_topk
+
+    vecs = _rand_vecs(10, 8, seed=6)
+    df = _vec_df(spark, vecs)
+    cb = pq_train(df, m=2, ksub=2, iters=1)
+    cents = [vecs[0], vecs[1]]
+    with pytest.raises(ValueError, match="n_probe"):
+        ivfpq_topk(df, cents, cb, vecs[0], n_probe=0)
