@@ -3724,3 +3724,33 @@ def sq8_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("-", F.col("codes").cast("array<string>")).alias("codes"),
         "recon_mse",
     ).orderBy("vec_id")
+
+
+from .operators.projection import projection_oracle_sql as _proj_oracle
+
+
+@register(
+    "random_projection_embeddings",
+    oracle=_proj_oracle("embeddings", dim=64, k=16),
+)
+def random_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims
+    (operators/projection.py): deterministic Rademacher matrix
+    (md5-parity signs, exact ±0.25 entries) rides the plan as
+    literals; each output dim is a codegen zip_with dot product —
+    map-only, 4x less shuffle weight for every downstream
+    clustering/ANN/dedup pass. The DuckDB oracle re-derives the SAME
+    matrix and recomputes every projected value (16 columns x corpus,
+    6dp) — exact parity because ±2^-2 entries make every product
+    exact and both engines fold left-to-right."""
+    from .operators.projection import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = random_projection(emb, k=16, dim=64)
+    return out.select(
+        "vec_id",
+        *[
+            F.round(F.element_at("proj", j + 1), 6).alias(f"p_{j}")
+            for j in range(16)
+        ],
+    ).orderBy("vec_id")
