@@ -3754,3 +3754,85 @@ def random_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(16)
         ],
     ).orderBy("vec_id")
+
+
+from .operators.sampling import temperature_mix_oracle_sql as _tmix_oracle
+
+
+@register(
+    "temperature_mix_documents",
+    oracle=_tmix_oracle("documents", "d.doc_id, d.lang, d.source", alpha=0.5)
+    + " ORDER BY d.doc_id",
+)
+def temperature_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture resampling (alpha=0.5, the
+    multilingual p^alpha upsampling trick): each lang stratum thins at
+    rate sqrt(min_cnt/cnt) — natural mixture at alpha=1, fully balanced
+    at alpha=0 (operators/sampling.temperature_mix_sample). The sqrt
+    chain keeps the rate bit-identical across engines, so the kept SET
+    itself is value-checked, not just its size. Count agg + broadcast
+    thresholds + md5-bucket keep in scan codegen — no data-sized
+    shuffle at any corpus size."""
+    from .operators.sampling import temperature_mix_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return (
+        temperature_mix_sample(docs, alpha=0.5, strata_col="lang")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "cluster_best_documents",
+    oracle=f"""
+    WITH RECURSIVE {_simhash_cte(_SIMHASH_BASE_SQL)},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src),
+    scored AS (
+      SELECT n.doc_id,
+             CAST(coalesce(c.component, n.doc_id) AS BIGINT) AS component,
+             CAST(length(n.text) AS BIGINT) AS score
+      FROM base n LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, component, score,
+           (row_number() OVER (
+              PARTITION BY component ORDER BY score DESC, doc_id ASC) = 1
+           ) AS keep
+    FROM scored ORDER BY doc_id
+    """,
+)
+def cluster_best_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup resolution: simhash pairs close into
+    clusters (pointer-jumping components), then each cluster keeps its
+    BEST copy — max text length, ties to min doc_id
+    (operators/components.resolve_best) — instead of an arbitrary
+    min-id representative. The planted mutated copies carry ' tail'
+    (5 extra chars), so the mutated duplicate wins its cluster and the
+    keep flags genuinely exercise the argmax path. DuckDB oracle:
+    recursive-CTE transitive closure + the same window."""
+    from .operators.components import resolve_best
+    from .operators.dedup import simhash_md5_pairs
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id", "text").filter("doc_id < 500")
+    )
+    mutated = (
+        docs.filter(F.col("doc_id") < 50)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    )
+    all_docs = docs.unionAll(mutated).withColumn(
+        "score", F.length("text").cast("long")
+    )
+    pairs = simhash_md5_pairs(all_docs, max_hamming=3)
+    return resolve_best(all_docs, pairs, score_col="score").orderBy("doc_id")

@@ -140,3 +140,47 @@ def resolve_duplicates(
             ).alias("keep"),
         )
     )
+
+
+def resolve_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Quality-aware cluster resolution: one row per doc with
+    ``(id_col, component, score_col, keep)`` where ``keep`` marks the
+    HIGHEST-``score_col`` member of each duplicate cluster (ties break
+    to the minimum id) and every unpaired doc.
+
+    This is the curation-grade variant of :func:`resolve_duplicates`:
+    instead of keeping an arbitrary (min-id) representative, each
+    near-dup cluster keeps its best copy — e.g. the longest or
+    highest-quality-scored document. Plan shape: the component labels
+    come from the same pointer-jumping propagation; the argmax is one
+    window partitioned by component — cluster-sized partitions, so no
+    skew risk at corpus scale (a duplicate cluster is bounded, not
+    corpus-sized; pathological mega-clusters already fail loudly in
+    :func:`connected_components`)."""
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs, id_a, id_b)
+    base = docs.select(
+        F.col(id_col).cast("long").alias("id"), F.col(score_col)
+    )
+    labeled = base.join(comp, "id", "left").select(
+        "id",
+        F.coalesce("component", F.col("id")).alias("component"),
+        score_col,
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col(score_col).desc(), F.col("id").asc()
+    )
+    return labeled.select(
+        F.col("id").alias(id_col),
+        "component",
+        score_col,
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

@@ -267,3 +267,88 @@ def stratified_take(
         .filter(F.col("_rk") <= n_per_stratum)
         .drop("_rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled mixture sampling
+# ---------------------------------------------------------------------------
+
+def _temp_rate_expr(alpha: float, min_cnt: str, cnt: str) -> str:
+    """Shared Spark/DuckDB expression for the per-stratum keep threshold
+    ``floor((min_cnt/cnt)^(1-alpha) * 65536)``.
+
+    Exactness: for alpha in {0.0, 0.5, 0.75, 1.0} the exponent is a sum
+    of negative powers of two, expressed as an exact sqrt chain — IEEE
+    sqrt and division are correctly rounded, so Spark (Java) and DuckDB
+    (libm) produce bit-identical doubles and the floor()ed integer
+    threshold matches exactly. Other alphas fall back to pow(), which
+    both engines round correctly to within 1 ulp; the threshold only
+    differs if rate*65536 lands within that ulp of an integer —
+    vanishingly unlikely, and flagged here for the oracle-minded."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1] (got {alpha})")
+    ratio = f"(CAST({min_cnt} AS DOUBLE) / {cnt})"
+    e = 1.0 - alpha
+    exact = {1.0: ratio, 0.5: f"sqrt({ratio})", 0.25: f"sqrt(sqrt({ratio}))",
+             0.75: f"(sqrt({ratio}) * sqrt(sqrt({ratio})))", 0.0: "1.0"}
+    rate = exact.get(e, f"pow({ratio}, {e!r})")
+    return f"CAST(floor({rate} * {_BUCKETS}) AS BIGINT)"
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled mixture resampling (the multilingual-corpus
+    ``p^alpha`` trick, mT5/XLM-R style): thin each stratum at rate
+    ``(min_cnt / cnt)^(1-alpha)``, so ``alpha=1`` keeps the natural
+    mixture, ``alpha=0`` flattens it to the rarest stratum's share
+    (== :func:`balanced_mix_sample`'s default), and values between
+    up-weight the tail smoothly. The rarest stratum always passes whole.
+
+    Plan shape matches :func:`balanced_mix_sample`: one tiny map-side
+    combined count aggregation, rates derived on #strata rows, broadcast
+    back, md5-bucket keep decision inside the scan's codegen — no
+    data-sized shuffle at any corpus size."""
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("_cnt"))
+    gmin = counts.agg(F.min("_cnt").alias("_min_cnt"))
+    counts = counts.crossJoin(F.broadcast(gmin))
+    thr = counts.select(
+        strata_col,
+        F.expr(_temp_rate_expr(alpha, "_min_cnt", "_cnt")).alias("_thr"),
+    )
+    key = f"concat(cast({strata_col} as string), ':', cast({key_col} as string))"
+    return (
+        df.join(F.broadcast(thr), strata_col)
+        .filter(F.expr(f"{_bucket_expr(key)} < _thr"))
+        .drop("_thr")
+    )
+
+
+def temperature_mix_oracle_sql(
+    table: str,
+    select_cols: str,
+    alpha: float = 0.5,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+) -> str:
+    """DuckDB query matching :func:`temperature_mix_sample` exactly
+    (same sqrt-chain rate, same integer threshold, same bucket hash)."""
+    key = f"concat(cast({strata_col} as string), ':', cast({key_col} as string))"
+    thr = _temp_rate_expr(alpha, "tgt.min_cnt", "cnt")
+    return f"""
+    WITH counts AS (
+      SELECT {strata_col}, CAST(count(*) AS BIGINT) AS cnt
+      FROM {table} GROUP BY {strata_col}
+    ),
+    tgt AS (SELECT min(cnt) AS min_cnt FROM counts),
+    thr AS (
+      SELECT {strata_col}, {thr} AS threshold
+      FROM counts, tgt
+    )
+    SELECT {select_cols}
+    FROM {table} d JOIN thr USING ({strata_col})
+    WHERE {_bucket_expr(key)} < thr.threshold
+    """
