@@ -3836,3 +3836,52 @@ def cluster_best_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = simhash_md5_pairs(all_docs, max_hamming=3)
     return resolve_best(all_docs, pairs, score_col="score").orderBy("doc_id")
+
+
+def _render_chat_oracle(path: str) -> str:
+    return f"""
+    WITH t AS (
+      SELECT conv_id, turn_idx, role, text FROM read_parquet('{path}')
+    )
+    SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+           string_agg('<|' || role || '|>' || text || chr(10), ''
+                      ORDER BY turn_idx) AS rendered
+    FROM t GROUP BY conv_id ORDER BY conv_id
+    """
+
+
+@register("render_chat_transcripts", oracle=None)  # bound below
+def render_chat_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT chat-template rendering: each conversation flattens to ONE
+    training string '<|role|>text\\n' per turn in turn order — the
+    formatting step between a curated transcript table and a tokenizer.
+    Plan: one shuffle keyed on conv_id (inherent — rendering needs the
+    conversation's turns together) whose payload carries each turn's
+    text exactly once; ordering via array_sort(collect_list(struct)) —
+    partial-aggregated, no separate window sort, and a hot conversation
+    is one array build, not a sort spill. String-exact value parity
+    with DuckDB's ordered string_agg."""
+    from .testdata import write_transcripts_parquet
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    t = spark.read.parquet(FIXTURE_TRANSCRIPTS)
+    turns = t.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.array_sort(
+            F.collect_list(F.struct("turn_idx", "role", "text"))
+        ).alias("turns"),
+    )
+    return turns.select(
+        "conv_id",
+        "n_turns",
+        F.aggregate(
+            "turns",
+            F.lit(""),
+            lambda acc, x: F.concat(
+                acc, F.lit("<|"), x["role"], F.lit("|>"), x["text"], F.lit("\n")
+            ),
+        ).alias("rendered"),
+    ).orderBy("conv_id")
+
+
+ORACLES["render_chat_transcripts"] = _render_chat_oracle(FIXTURE_TRANSCRIPTS)
