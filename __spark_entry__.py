@@ -64,6 +64,9 @@ _SNAPSHOT_FIRST = [
     "lang_by_day_transcripts",
     "length_histogram_documents",
     "pii_stats_transcripts",
+    # round 5: the north rule's byte-exact-scrub requirement, upgraded from
+    # pytest-golden-only to a driver value hash (RE2-coincident subset)
+    "scrubbed_text_transcripts",
 ]
 _SNAPSHOT_LAST = [
     "quality_pipeline_transcripts",      # rows-only: full-pipeline frame

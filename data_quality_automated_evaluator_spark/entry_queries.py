@@ -3885,3 +3885,64 @@ def render_chat_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["render_chat_transcripts"] = _render_chat_oracle(FIXTURE_TRANSCRIPTS)
+
+
+def _scrub_oracle(path: str) -> str:
+    """Byte-exact scrub oracle over the RE2-expressible subset.
+
+    DuckDB's RE2 has no lookarounds (the phone rule needs them) and its
+    \\b / \\d are ASCII while Python's are Unicode, so the value check
+    covers rows that are (a) pure ASCII and (b) free of phone-shaped
+    substrings — the same predicate filters BOTH engines, and on that
+    subset the remaining card/email/IP/toxicity chain is regex-for-regex
+    identical (RE2 produces PCRE-equal matches absent lookarounds).
+    Phone and non-ASCII bytes stay covered by the byte-exact pytest
+    goldens (test_pipeline_golden.py)."""
+    from .functions.scrub import SCRUB_RULES
+
+    expr = "text"
+    for i, (pat, repl) in enumerate(SCRUB_RULES):
+        if i == 2:  # phone: lookarounds — excluded by the row predicate
+            continue
+        sql_pat = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{sql_pat}', '{repl}', 'g')"
+    return f"""
+    WITH t AS (
+      SELECT conv_id, turn_idx, text FROM read_parquet('{path}')
+      WHERE text IS NOT NULL
+        AND NOT regexp_matches(text, '[^\\x00-\\x7F]')
+        AND NOT regexp_matches(text, '\\+?\\d{{1,3}}[ -]\\d{{2,4}}([ -]\\d{{2,4}}){{1,3}}')
+    )
+    SELECT conv_id, turn_idx, {expr} AS text_scrubbed
+    FROM t ORDER BY conv_id, turn_idx
+    """
+
+
+@register("scrubbed_text_transcripts", oracle=None)  # bound below
+def scrubbed_text_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrubbed-BYTES value check: the pipeline's actual Arrow scrub UDF
+    (functions/scrub.py — the same code the flagship runs) over every
+    ASCII, phone-free turn, compared byte-for-byte against a DuckDB
+    regexp_replace chain built from the SAME SCRUB_RULES table. This
+    upgrades the north rule's byte-exact-scrubbed-text requirement from
+    pytest-golden-only to a driver-checked value hash on the subset
+    where Python-regex and RE2 semantics provably coincide (see
+    _scrub_oracle); the excluded phone/Unicode rows keep their golden
+    coverage. Plan: scan → rlike filters in codegen → one Arrow UDF
+    projection — map-only."""
+    from .pipeline.quality import scrub_udf
+    from .testdata import write_transcripts_parquet
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    t = spark.read.parquet(FIXTURE_TRANSCRIPTS)
+    sub = t.filter(
+        F.col("text").isNotNull()
+        & ~F.col("text").rlike(r"[^\x00-\x7F]")
+        & ~F.col("text").rlike(r"\+?\d{1,3}[ -]\d{2,4}([ -]\d{2,4}){1,3}")
+    )
+    return sub.select(
+        "conv_id", "turn_idx", scrub_udf(F.col("text")).alias("text_scrubbed")
+    ).orderBy("conv_id", "turn_idx")
+
+
+ORACLES["scrubbed_text_transcripts"] = _scrub_oracle(FIXTURE_TRANSCRIPTS)
