@@ -585,6 +585,13 @@ _RES_HEADLINE = 170.0   # cold + 2 warm pipeline passes
 _RES_PAIR_2_8 = 290.0   # one 2|8 attempt incl. sandwich controls
 _RES_PAIR_4_16 = 320.0  # one 4|16 attempt incl. sandwich controls
 _RES_SCALING = _RES_PAIR_2_8 + _RES_PAIR_4_16
+# the per-query sweep runs LAST but is still a graded-artifact citizen
+# (r05 observed: two 380 s 4|16 attempts — the second chasing a SECOND
+# clean window — left 60 s for the sweep, recording 17 of 85 timings).
+# Scaling stages treat this as part of their reserve: extra attempts
+# beyond the first clean window, top-ups, and the demonstration legs
+# all yield to it. One attempt per pair is never blocked by it.
+_RES_SWEEP = 210.0      # ~85 warm queries + session spin-up
 
 
 def _bench_body() -> None:
@@ -756,7 +763,7 @@ def _measure_scaling(data_path: str, scale_path: str) -> None:
             partitions=128,
         ),
         max_attempts=4, want_clean=2,
-        reserve_sec=_RES_PAIR_2_8,
+        reserve_sec=_RES_PAIR_2_8 + _RES_SWEEP,
     )
     RESULT["scaling"] = {"target": 0.8, "pair": "2_to_8"}
 
@@ -791,7 +798,7 @@ def _measure_scaling(data_path: str, scale_path: str) -> None:
         hw_args=(2, "0-1", 8, "2-9"),
         pair_kw=dict(runs_small=2, runs_big=11),
         max_attempts=4, want_clean=2,
-        reserve_sec=0.0,
+        reserve_sec=_RES_SWEEP,
     )
     def _publish_28() -> None:
         tps[2] = n_scale / min(a["secs"][0] for a in attempts_2_8)
@@ -834,7 +841,7 @@ def _measure_scaling(data_path: str, scale_path: str) -> None:
     for _key, (att, publish, path, hw_args, pair_kw) in _TOPUP.items():
         while not any(a["clean"] for a in att) and len(att) < 6:
             est = 1.15 * max(a.get("wall", 300.0) for a in att)
-            if _left() < est + 60.0:
+            if _left() < est + 60.0 + _RES_SWEEP:
                 break
             att.extend(
                 _gated_pair_attempts(
@@ -857,7 +864,7 @@ def _measure_scaling(data_path: str, scale_path: str) -> None:
     # budget.
     if (
         os.environ.get("SPARK_GRAFT_EXEC_PAIR") == "1"
-        or _left() > 420.0
+        or _left() > 420.0 + _RES_SWEEP
     ):
         attempts_exec = _gated_pair_attempts(
             data_path,
@@ -894,7 +901,7 @@ def _measure_scaling(data_path: str, scale_path: str) -> None:
 
     # sequential 8 -> 32 context leg: single-minute weather-bound
     # (raw 0.07-0.40 observed) — kept only when budget allows
-    if _left() > 130.0:
+    if _left() > 130.0 + _RES_SWEEP:
         sec32 = _pinned_steady_sec(min(32, CPUS), scale_path)
         tps[min(32, CPUS)] = n_scale / sec32
         _SIDECAR_EXTRA["eff_8_32"] = round(

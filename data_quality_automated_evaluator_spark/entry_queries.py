@@ -3946,3 +3946,23 @@ def scrubbed_text_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["scrubbed_text_transcripts"] = _scrub_oracle(FIXTURE_TRANSCRIPTS)
+
+
+from .operators.dedup import boilerplate_oracle_sql as _boiler_oracle
+
+
+@register(
+    "boilerplate_fraction_documents",
+    oracle=_boiler_oracle("SELECT doc_id, text FROM documents"),
+)
+def boilerplate_fraction_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate/memorization score: fraction of each
+    doc's distinct 8-grams shared with at least one other document
+    (operators/dedup.boilerplate_fraction — digest-only shuffles, no
+    all-pairs path). DuckDB oracle recomputes with raw gram strings;
+    count equality certifies the digest path collision-free on this
+    corpus."""
+    from .operators.dedup import boilerplate_fraction
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return boilerplate_fraction(docs, k=8).orderBy("doc_id")

@@ -609,3 +609,68 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def boilerplate_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Per-document boilerplate/memorization score: the fraction of the
+    doc's DISTINCT k-char grams that appear in at least one OTHER
+    document. 0 = fully novel text, → 1 = assembled from corpus-shared
+    fragments (navigation chrome, templates, licence blocks) — the
+    doc-level signal span-level dedup acts on.
+
+    Scale shape: grams travel as xxhash64 longs (8 bytes — raw text
+    never shuffles); (doc, gram) distinct → per-gram doc counts (one
+    hash shuffle keyed on the gram, partial-aggregated) → co-partitioned
+    join back on the gram → per-doc mean. A gram shared by millions of
+    docs is one counter row, not a pair explosion — no all-pairs path
+    exists here at any corpus size. Returns
+    ``(id_col, n_grams, boilerplate_frac)``.
+    """
+    dg = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            _char_gram_explode(text_col, k).alias("_gram"),
+        )
+        .select("_id", F.xxhash64("_gram").alias("g"))
+        .distinct()
+    )
+    per_gram = dg.groupBy("g").agg(F.count("*").alias("_n_docs"))
+    return (
+        dg.join(per_gram, "g")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(
+                F.avg((F.col("_n_docs") > 1).cast("double")), 6
+            ).alias("boilerplate_frac"),
+        )
+        .select(F.col("_id").alias(id_col), "n_grams", "boilerplate_frac")
+    )
+
+
+def boilerplate_oracle_sql(base_sql: str, k: int = 8) -> str:
+    """DuckDB twin of :func:`boilerplate_fraction` over ``base_sql``
+    (SELECT yielding doc_id, text). Grams stay raw strings here —
+    equality of the aggregates only assumes xxhash64 never collides
+    inside one corpus sample (~1e-10 at these sizes)."""
+    return f"""
+    WITH base AS ({base_sql}),
+    grams AS (
+      SELECT DISTINCT doc_id, g
+      FROM base, UNNEST(list_transform(
+        range(1, greatest(length(text) - {k - 1}, 1) + 1),
+        i -> substr(text, i, {k}))) AS t(g)
+    ),
+    cnt AS (SELECT g, count(*) AS n_docs FROM grams GROUP BY g)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           round(avg(CASE WHEN n_docs > 1 THEN 1.0 ELSE 0.0 END), 6)
+             AS boilerplate_frac
+    FROM grams JOIN cnt USING (g)
+    GROUP BY doc_id ORDER BY doc_id
+    """
