@@ -3966,3 +3966,64 @@ def boilerplate_fraction_documents(spark: SparkSession, sf_dir: str) -> DataFram
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return boilerplate_fraction(docs, k=8).orderBy("doc_id")
+
+
+from .operators.dsir import dsir_oracle_sql as _dsir_oracle
+
+
+@register(
+    "dsir_weights_documents",
+    oracle=_dsir_oracle("documents", "lang = 'en'") + " ORDER BY doc_id",
+)
+def dsir_weights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling weights (Xie et al., NeurIPS 2023):
+    hashed unigram+bigram bag-of-ngrams LMs for the target slice
+    (lang='en') vs the raw corpus, per-doc log importance weight
+    (operators/dsir.dsir_weights — one exploded-feature pass builds
+    both LMs, broadcast log-ratio table quantized to integer micro-nats
+    so the doc-level sum is shuffle-order-proof)."""
+    from .operators.dsir import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return dsir_weights(docs, F.col("lang") == "en").orderBy("doc_id")
+
+
+from .functions.infotheory import entropy_oracle_sql as _entropy_oracle
+
+
+@register(
+    "char_entropy_documents",
+    oracle=_entropy_oracle("documents") + " ORDER BY doc_id",
+)
+def char_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy / type-token-ratio quality signals
+    (functions/infotheory.char_entropy_stats): map-only higher-order
+    folds in scan codegen, no per-char exchange; the distinct-char
+    array is sorted so Spark and DuckDB accumulate identical doubles."""
+    from .functions.infotheory import char_entropy_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return char_entropy_stats(docs).orderBy("doc_id")
+
+
+from .functions.classifier import auc_oracle_sql as _auc_oracle
+
+# deliberately mis-weighted scorer (symbol ratio over-penalized, length
+# ignored) so the AUC is non-degenerate — ties and misrankings exercise
+# the tie-corrected Mann-Whitney path instead of collapsing to 1.0
+_AUC_W = [0.0, 4.0, 0.0, -3.0]
+
+
+@register(
+    "auc_lr_documents",
+    oracle=_auc_oracle("documents", _AUC_W),
+)
+def auc_lr_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the quality scorer vs the heuristic labels
+    (functions/classifier.auc_stats): per-bin pos/neg aggregation
+    (bins domain-bounded by round(score,4)), integer Mann-Whitney
+    numerator, one row out."""
+    from .functions.classifier import auc_stats
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return auc_stats(docs, _AUC_W)

@@ -38,6 +38,8 @@ __all__ = [
     "lr_train_stats",
     "lr_train_oracle_sql",
     "lr_score_oracle_sql",
+    "auc_stats",
+    "auc_oracle_sql",
 ]
 
 N_FEATURES = 3  # plus implicit bias term
@@ -191,4 +193,108 @@ def lr_score_oracle_sql(table: str, weights: list[float]) -> str:
     return f"""
     SELECT doc_id, {sig} >= 0.5 AS keep, round({sig}, 6) AS score
     FROM {table}
+    """
+
+
+# ---------------------------------------------------------------------------
+# classifier evaluation: ROC-AUC
+# ---------------------------------------------------------------------------
+
+def auc_stats(
+    df: DataFrame,
+    weights: list[float],
+    text_col: str = "text",
+    decimals: int = 4,
+) -> DataFrame:
+    """Distributed ROC-AUC of the scorer against the heuristic labels —
+    the calibration gate a production quality-classifier rollout runs
+    before swapping thresholds.
+
+    Shape: scores bin to ``round(score, decimals)`` (domain [0,1] →
+    at most ``10^decimals + 1`` bins **by construction**, independent of
+    corpus size), one partial→final aggregation to per-bin pos/neg
+    counts, then Mann-Whitney with tie correction over the bounded bin
+    frame: ``AUC = sum_b pos_b * (2*cumneg_<b + neg_b) / (2*P*N)``.
+    The running-negatives window orders the bin frame under a constant
+    partition key — single-task on purpose (the frame is domain-bounded,
+    the same metadata-sized argument as the sampler's counts frame) and
+    warning-clean.  All numerators stay BIGINT-exact (order-independent,
+    engine-portable); exactness holds while ``2*P*N < 2^63``, i.e. to
+    ~2e9 rows per class — past that the final ratio should move to
+    double, noted here so the seam is explicit."""
+    if len(weights) != N_FEATURES + 1:
+        raise ValueError(f"need {N_FEATURES + 1} weights (bias first)")
+    feats, y = feature_label_cols(text_col)
+    s = F.round(_sigmoid(_z(weights, [F.lit(1.0)] + feats)), decimals)
+    binned = (
+        df.select(s.alias("s"), y.alias("y"))
+        .groupBy("s")
+        .agg(
+            F.count_if(F.col("y") == 1.0).alias("pos"),
+            F.count_if(F.col("y") == 0.0).alias("neg"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = binned.withColumn(
+        "cumneg", F.coalesce(F.sum("neg").over(w), F.lit(0))
+    )
+    agg = cum.agg(
+        F.sum(
+            F.col("pos") * (2 * F.col("cumneg") + F.col("neg"))
+        ).alias("u2"),
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+        F.count("*").alias("n_bins"),
+    )
+    return agg.select(
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                F.col("u2") / (2.0 * F.col("n_pos") * F.col("n_neg")), 6
+            ),
+        ).alias("auc"),
+        "n_pos",
+        "n_neg",
+        "n_bins",
+    )
+
+
+def auc_oracle_sql(
+    table: str, weights: list[float], decimals: int = 4
+) -> str:
+    """DuckDB twin of :func:`auc_stats` — same binning, same integer
+    Mann-Whitney numerator, same rounding."""
+    w = [repr(float(x)) for x in weights]
+    sig = _sql_sig(*w)
+    return f"""
+    WITH scored AS (
+      SELECT round({sig}, {decimals}) AS s, {_SQL_Y} AS y FROM {table}
+    ),
+    binned AS (
+      SELECT s,
+             CAST(count(*) FILTER (WHERE y = 1.0) AS BIGINT) AS pos,
+             CAST(count(*) FILTER (WHERE y = 0.0) AS BIGINT) AS neg
+      FROM scored GROUP BY s
+    ),
+    cum AS (
+      SELECT s, pos, neg,
+             coalesce(sum(neg) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumneg
+      FROM binned
+    )
+    SELECT CASE WHEN sum(pos) > 0 AND sum(neg) > 0 THEN
+             round(sum(pos * (2 * cumneg + neg))
+                   / (2.0 * sum(pos) * sum(neg)), 6)
+           END AS auc,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(neg) AS BIGINT) AS n_neg,
+           CAST(count(*) AS BIGINT) AS n_bins
+    FROM cum
     """

@@ -1,0 +1,193 @@
+"""DSIR-style data selection: hashed-n-gram importance weights.
+
+Data Selection via Importance Resampling (Xie et al., NeurIPS 2023)
+scores every raw document by how target-like it is under two
+bag-of-hashed-n-grams language models: ``log w(x) = sum_f [log p(f) -
+log q(f)]`` over the document's unigram+bigram features, where ``p`` is
+estimated from a target corpus slice and ``q`` from the full raw
+corpus.  High-weight documents are kept (Gumbel-top-k resampling in the
+paper); the weights themselves are the portable artifact and what this
+operator emits.
+
+Spark-first shape (reference parity: the reference evaluator has no
+selection stage — this is part of the training-data-pipeline extension
+surface, like operators/sampling.py):
+
+* features per doc — lowercase, split on ``[^a-z0-9]+``, unigrams +
+  space-joined bigrams, all via JVM higher-order functions inside the
+  scan projection (zero Python);
+* feature hashing — a polynomial rolling hash over code points
+  (``acc*31 + cp mod 1_000_003``) taken mod ``n_buckets``, chosen over
+  xxhash64 because DuckDB can replay it exactly
+  (``list_reduce(unicode(ch))``) for the value oracle;
+* corpus LMs — ONE pass over the exploded (doc, bucket) stream builds
+  both models: ``count(*)`` for q and ``count_if(is_target)`` for p per
+  bucket, map-side combined into at most ``n_buckets`` rows;
+* log-ratio table — Laplace-smoothed ``ln((p_b+1)/(P+B)) -
+  ln((q_b+1)/(Q+B))``, quantized to integer micro-nats (``*1e6`` →
+  BIGINT) so the per-document sum is exact integer arithmetic —
+  order-independent, hence value-hash stable across engines and
+  shuffle schedules;
+* per-doc weights — broadcast-join the ≤``n_buckets``-row table onto
+  the exploded stream, one groupBy(doc_id) with map-side partial sums.
+
+At 10^12 turns: the explode is map-local, the only wide exchange is
+the doc_id aggregation (8-byte key + 8-byte partial sum per feature
+run), the LM table is bounded by ``n_buckets`` regardless of corpus
+size, and both corpus scans prune to the text + target columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["dsir_weights", "dsir_oracle_sql"]
+
+_MOD = 1_000_003
+_SEED = 7
+
+
+def _feats_col(text_col: str):
+    # unigrams + bigrams of the lowercased [a-z0-9]+ token stream, all
+    # JVM higher-order functions inside the scan projection
+    ws = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda w: w != F.lit(""),
+    )
+    n1 = F.greatest(F.size(ws) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(ws, 1, n1),
+        F.slice(ws, 2, n1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.concat(ws, bigrams)
+
+
+def _bucket_col(feat, n_buckets: int):
+    # polynomial hash over code points; ASCII-only by construction
+    # ([a-z0-9 ] survives the split), so ascii()/unicode() agree
+    h = F.aggregate(
+        F.split(feat, ""),
+        F.lit(_SEED).cast("bigint"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % _MOD,
+    )
+    return (h % n_buckets).cast("int")
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_pred,
+    n_buckets: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document importance log-weights.
+
+    ``target_pred`` — a boolean Column marking the target slice (the
+    distribution we want more of).  Returns (id_col, n_feats, logw)
+    for every document with at least one feature.
+    """
+    feats = (
+        df.select(
+            F.col(id_col),
+            target_pred.alias("_is_tgt"),
+            F.explode(_feats_col(text_col)).alias("_f"),
+        )
+        .select(
+            id_col, "_is_tgt", _bucket_col(F.col("_f"), n_buckets).alias("_b")
+        )
+    )
+
+    lm = feats.groupBy("_b").agg(
+        F.count("*").alias("_q"),
+        F.count_if(F.col("_is_tgt")).alias("_p"),
+    )
+    totals = lm.agg(
+        F.sum("_q").alias("_qt"), F.sum("_p").alias("_pt")
+    )
+    # integer micro-nats: ln-ratio computed once per bucket, quantized,
+    # summed exactly per doc (float-order independent across engines)
+    ratio = (
+        lm.crossJoin(F.broadcast(totals))
+        .select(
+            "_b",
+            F.round(
+                (
+                    F.log((F.col("_p") + 1.0) / (F.col("_pt") + n_buckets))
+                    - F.log((F.col("_q") + 1.0) / (F.col("_qt") + n_buckets))
+                )
+                * 1_000_000.0,
+                0,
+            )
+            .cast("bigint")
+            .alias("_lr"),
+        )
+    )
+
+    return (
+        feats.join(F.broadcast(ratio), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.round(F.sum("_lr") / 1_000_000.0, 6).alias("logw"),
+        )
+    )
+
+
+def dsir_oracle_sql(
+    table: str,
+    target_sql: str,
+    n_buckets: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin: same tokenization, same polynomial hash, same
+    Laplace smoothing, same micro-nat quantization."""
+    return f"""
+    WITH docs AS (
+      SELECT {id_col},
+             ({target_sql}) AS is_tgt,
+             list_filter(
+               string_split_regex(lower({text_col}), '[^a-z0-9]+'),
+               w -> w <> '') AS ws
+      FROM {table}
+    ),
+    featured AS (
+      SELECT {id_col}, is_tgt,
+             list_concat(
+               ws,
+               list_transform(
+                 generate_series(1, greatest(len(ws) - 1, 0)),
+                 i -> ws[i] || ' ' || ws[i + 1])) AS fs
+      FROM docs
+    ),
+    exploded AS (
+      SELECT {id_col}, is_tgt,
+             CAST(list_reduce(
+               list_prepend(CAST({_SEED} AS BIGINT),
+                 list_transform(string_split(f.feat, ''),
+                                ch -> CAST(unicode(ch) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % {_MOD}) % {n_buckets}
+             AS INT) AS b
+      FROM featured, unnest(fs) AS f(feat)
+    ),
+    lm AS (
+      SELECT b, count(*) AS q, count(*) FILTER (is_tgt) AS p
+      FROM exploded GROUP BY b
+    ),
+    totals AS (SELECT sum(q) AS qt, sum(p) AS pt FROM lm),
+    ratio AS (
+      SELECT b,
+             CAST(round(
+               (ln((p + 1.0) / (pt + {n_buckets}))
+                - ln((q + 1.0) / (qt + {n_buckets}))) * 1000000.0, 0)
+             AS BIGINT) AS lr
+      FROM lm, totals
+    )
+    SELECT e.{id_col},
+           count(*) AS n_feats,
+           round(sum(r.lr) / 1000000.0, 6) AS logw
+    FROM exploded e JOIN ratio r USING (b)
+    GROUP BY e.{id_col}
+    """
