@@ -582,8 +582,8 @@ def _compact_line() -> str:
 # the graded criterion, so the query sweep and headline resamples yield
 # to it — never the other way around.
 _RES_HEADLINE = 170.0   # cold + 2 warm pipeline passes
-_RES_PAIR_2_8 = 290.0   # one 2|8 attempt incl. sandwich controls
-_RES_PAIR_4_16 = 320.0  # one 4|16 attempt incl. sandwich controls
+_RES_PAIR_2_8 = 300.0   # one 2|8 attempt incl. sandwich controls (r05: 234 s)
+_RES_PAIR_4_16 = 420.0  # one 4|16 attempt incl. sandwich controls (r05: 407 s)
 _RES_SCALING = _RES_PAIR_2_8 + _RES_PAIR_4_16
 # the per-query sweep runs LAST but is still a graded-artifact citizen
 # (r05 observed: two 380 s 4|16 attempts — the second chasing a SECOND
@@ -653,10 +653,36 @@ def _warm_session(spark) -> None:
      .groupBy("l").count().collect())
 
 
+# sweep order when budget may run out mid-sweep: the queries the
+# round-over-round record grades first (r3 verdict targets + the
+# historically slowest plans), then everything else alphabetically —
+# a cut-short sweep still times the marquee set
+_SWEEP_FIRST = [
+    "pii_stats_transcripts",
+    "agent_loop_transcripts",
+    "quality_pipeline_transcripts",
+    "gopher_repetition_documents",
+    "pq_codes_embeddings",
+    "pq_adc_topk_embeddings",
+    "boilerplate_fraction_documents",
+    "minhash_near_dup_pairs",
+    "cluster_best_documents",
+    "near_dup_resolve_documents",
+    "bpe_train_documents",
+    "asof_join_events",
+    "bloom_probe_documents",
+    "decontaminate_documents",
+]
+
+
 def _measure_queries(spark, entrymod, queries_sec: dict) -> None:
     from data_quality_automated_evaluator_spark.operators.dedup import release_cached
 
-    names = sorted(entrymod.queries().items())
+    qmap = entrymod.queries()
+    names = [(n, qmap[n]) for n in _SWEEP_FIRST if n in qmap]
+    names += sorted(
+        (n, f) for n, f in qmap.items() if n not in _SWEEP_FIRST
+    )
     for i, (name, fn) in enumerate(names):
         # the sweep runs LAST: it only has to leave the emit path margin
         if _left() < 40.0:
@@ -686,21 +712,22 @@ def _measure_headline(spark, data_path: str) -> None:
     pipe_sec_cold, n_turns = _run_pipeline(spark, data_path)
     warm_secs = [_run_pipeline(spark, data_path)[0] for _ in range(2)]
     hw_head = _hw_parallel_factor(CPUS)
-    # keep sampling while (a) the latest run still improves the min by
-    # >3% — a bad opening minute must not set the graded headline — or
-    # (b) the matched 32-way burn control says the current minute is
-    # badly stolen (>1.35× parallel slowdown is pure hypervisor steal;
-    # clean minutes on this VM read ~1.05-1.25): weather drifts minute
-    # to minute, so later samples can land in a cleaner window — but
-    # NEVER spend the scaling block's reserved budget on resamples
+    # keep sampling while the latest run still improves the min by >3%
+    # — a bad opening minute must not set the graded headline — but
+    # NEVER spend the scaling block's or the query sweep's reserved
+    # budget on resamples. The 32-way hw factor is recorded as context
+    # only: on this host it reads ~1.9-2.1 EVERY minute (32 task slots
+    # over 16 physical cores — SMT siblings, not steal), so r05's
+    # hw>1.35 resample trigger chased an unreachable threshold and
+    # burned ~220 s of sweep budget on samples within noise of each
+    # other; the improvement rule alone already escapes a genuinely bad
+    # opening minute
     while (
         len(warm_secs) < 7
-        and _left() > _RES_SCALING + 40.0
-        and (warm_secs[-1] <= 0.97 * min(warm_secs[:-1]) or hw_head > 1.35)
+        and _left() > _RES_SCALING + _RES_SWEEP + 40.0
+        and warm_secs[-1] <= 0.97 * min(warm_secs[:-1])
     ):
         warm_secs.append(_run_pipeline(spark, data_path)[0])
-        if hw_head > 1.35:
-            hw_head = _hw_parallel_factor(CPUS)
     pipe_sec = min(pipe_sec_cold, *warm_secs)
     tps_full = n_turns / pipe_sec
     RESULT["value"] = round(tps_full, 1)
