@@ -4027,3 +4027,39 @@ def auc_lr_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("text")
     return auc_stats(docs, _AUC_W)
+
+
+from .operators.dsir import dsir_select_oracle_sql as _dsir_sel_oracle
+
+
+@register(
+    "dsir_select_documents",
+    oracle=_dsir_sel_oracle("documents", "lang = 'en'", k=200),
+)
+def dsir_select_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel-top-k resampling (the paper's selection stage): keep
+    the 200 docs with the largest logw + deterministic md5-seeded
+    Gumbel noise (operators/dsir.dsir_select — TakeOrderedAndProject,
+    per-partition top-k, no global sort; both engines cut the same k
+    rows because the ordering key is the rounded score + id)."""
+    from .operators.dsir import dsir_select
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return dsir_select(docs, F.col("lang") == "en", k=200)
+
+
+from .functions.classifier import calibration_oracle_sql as _calib_oracle
+
+
+@register(
+    "calibration_curve_documents",
+    oracle=_calib_oracle("documents", _AUC_W) + " ORDER BY bin",
+)
+def calibration_curve_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scorer reliability diagram (functions/classifier.calibration_curve):
+    fixed probability deciles, per-bin count / mean score / observed
+    keep rate — map-only projection + a 10-row aggregate."""
+    from .functions.classifier import calibration_curve
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return calibration_curve(docs, _AUC_W).orderBy("bin")

@@ -40,6 +40,8 @@ __all__ = [
     "lr_score_oracle_sql",
     "auc_stats",
     "auc_oracle_sql",
+    "calibration_curve",
+    "calibration_oracle_sql",
 ]
 
 N_FEATURES = 3  # plus implicit bias term
@@ -263,6 +265,49 @@ def auc_stats(
         "n_neg",
         "n_bins",
     )
+
+
+def calibration_curve(
+    df: DataFrame,
+    weights: list[float],
+    text_col: str = "text",
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram for the scorer: fixed probability bins
+    (``floor(score*bins)``, top edge clamped), per-bin count, mean
+    predicted score, and observed keep rate.  A calibrated scorer has
+    mean_score ≈ keep_rate per bin; systematic gaps say the threshold
+    the pipeline ships must be re-fit.  One map-only projection + a
+    ``bins``-row aggregate — the cheapest useful eval pass there is."""
+    if len(weights) != N_FEATURES + 1:
+        raise ValueError(f"need {N_FEATURES + 1} weights (bias first)")
+    feats, y = feature_label_cols(text_col)
+    s = _sigmoid(_z(weights, [F.lit(1.0)] + feats))
+    b = F.least(F.floor(s * bins), F.lit(bins - 1)).cast("int")
+    return (
+        df.select(b.alias("bin"), s.alias("s"), y.alias("y"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("s"), 6).alias("mean_score"),
+            F.round(F.avg("y"), 6).alias("keep_rate"),
+        )
+    )
+
+
+def calibration_oracle_sql(
+    table: str, weights: list[float], bins: int = 10
+) -> str:
+    """DuckDB twin of :func:`calibration_curve`."""
+    w = [repr(float(x)) for x in weights]
+    sig = _sql_sig(*w)
+    return f"""
+    SELECT CAST(least(floor({sig} * {bins}), {bins - 1}) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg({sig}), 6) AS mean_score,
+           round(avg({_SQL_Y}), 6) AS keep_rate
+    FROM {table} GROUP BY 1
+    """
 
 
 def auc_oracle_sql(

@@ -42,7 +42,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dsir_weights", "dsir_oracle_sql"]
+__all__ = [
+    "dsir_weights",
+    "dsir_select",
+    "dsir_oracle_sql",
+    "dsir_select_oracle_sql",
+]
 
 _MOD = 1_000_003
 _SEED = 7
@@ -190,4 +195,72 @@ def dsir_oracle_sql(
            round(sum(r.lr) / 1000000.0, 6) AS logw
     FROM exploded e JOIN ratio r USING (b)
     GROUP BY e.{id_col}
+    """
+
+
+def _gumbel_expr(id_col: str) -> str:
+    """Deterministic Gumbel(0,1) noise from the md5-bucket uniform —
+    the same engine-portable hash trick as operators/sampling.py, so
+    the resampling decision is stable across runs/partitionings and
+    replayable by the oracle. u = (bucket16 + 0.5)/65536 is a power-of-
+    two quotient: both engines see the EXACT same double before ln.
+    Every term is CAST to double — a bare ``0.5``/``65536.0`` literal
+    parses as DECIMAL in Spark SQL and the scale-limited decimal
+    division quantized u at ~1e-5, which -ln(-ln(u)) amplified into
+    cross-engine score divergence (measured max 1.2e-5 before the
+    casts, 0.0 after)."""
+    from .sampling import _bucket_expr, _BUCKETS
+
+    u = (
+        f"((cast({_bucket_expr(id_col)} as double)"
+        f" + cast(0.5 as double)) / cast({_BUCKETS} as double))"
+    )
+    return f"(-ln(-ln({u})))"
+
+
+def dsir_select(
+    df: DataFrame,
+    target_pred,
+    k: int,
+    n_buckets: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gumbel-top-k importance resampling — the selection stage of the
+    DSIR recipe: keep the k documents with the largest
+    ``logw + Gumbel(0,1)`` (equivalent to sampling without replacement
+    proportionally to the importance weights).  The ordering key is the
+    ROUNDED score with an id tiebreak so both engines cut the same k
+    rows.  Physical plan: TakeOrderedAndProject — per-partition top-k,
+    then a k-row merge on the driver side of the exchange; no global
+    sort materializes at any scale."""
+    w = dsir_weights(
+        df, target_pred, n_buckets=n_buckets, id_col=id_col, text_col=text_col
+    )
+    score = F.round(F.col("logw") + F.expr(_gumbel_expr(id_col)), 6)
+    return (
+        w.select(id_col, "n_feats", "logw", score.alias("gumbel_score"))
+        .orderBy(F.desc("gumbel_score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def dsir_select_oracle_sql(
+    table: str,
+    target_sql: str,
+    k: int,
+    n_buckets: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`dsir_select` — the Gumbel expression is
+    shared verbatim via :func:`_gumbel_expr`."""
+    inner = dsir_oracle_sql(
+        table, target_sql, n_buckets=n_buckets, id_col=id_col, text_col=text_col
+    )
+    return f"""
+    SELECT {id_col}, n_feats, logw,
+           round(logw + {_gumbel_expr(id_col)}, 6) AS gumbel_score
+    FROM ({inner})
+    ORDER BY gumbel_score DESC, {id_col} LIMIT {k}
     """

@@ -86,3 +86,35 @@ def test_auc_matches_rank_formula(spark):
     assert got["n_pos"] == P and got["n_neg"] == N
     assert got["auc"] == round(u2 / (2.0 * P * N), 6)
     assert 0.0 < got["auc"] < 1.0
+
+
+def test_dsir_select_prefers_target_and_is_deterministic(spark):
+    rows = [(i, "en", "alpha beta gamma delta eps zeta") for i in range(20)]
+    rows += [(i + 20, "xx", "uno dos tres cuatro cinco seis") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    from data_quality_automated_evaluator_spark.operators.dsir import dsir_select
+
+    sel = dsir_select(df, F.col("lang") == "en", k=10, n_buckets=512)
+    a = sorted(r["doc_id"] for r in sel.collect())
+    b = sorted(r["doc_id"] for r in sel.collect())
+    assert a == b and len(a) == 10
+    # Gumbel noise is ~[-2, 7] while the two vocabularies are fully
+    # separated in logw; the majority of the keep-set must be target
+    n_tgt = sum(1 for i in a if i < 20)
+    assert n_tgt >= 7
+
+
+def test_calibration_curve_bins_and_rates(spark):
+    from data_quality_automated_evaluator_spark.functions.classifier import (
+        calibration_curve,
+    )
+
+    texts = [("w " * n).strip() for n in [5, 10, 45, 50, 55, 100, 150, 200]]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    out = calibration_curve(df, [0.0, 4.0, 0.0, -3.0]).collect()
+    assert sum(r["n"] for r in out) == len(texts)
+    for r in out:
+        assert 0 <= r["bin"] <= 9
+        assert 0.0 <= r["keep_rate"] <= 1.0
+        # mean predicted score must land inside its own bin's edges
+        assert r["bin"] / 10.0 - 1e-9 <= r["mean_score"] <= (r["bin"] + 1) / 10.0 + 0.1
