@@ -78,6 +78,10 @@ class _Deadline(BaseException):
 
 def _install_signals() -> None:
     def h(sig, _frm):
+        # stamp the cause directly on RESULT: if the raise lands inside a
+        # py4j send loop, py4j swallows _Deadline and re-raises its own
+        # Py4JError, which would otherwise mask "deadline" in the line
+        RESULT["deadline_signal"] = signal.Signals(sig).name
         raise _Deadline(f"signal {sig}")
 
     signal.signal(signal.SIGTERM, h)
@@ -457,12 +461,19 @@ def main() -> None:
     try:
         _bench_body()
     except BaseException as e:  # noqa: BLE001 — emit-before-die is the contract
-        RESULT["partial"] = f"{type(e).__name__}: {e}"[:120]
+        cause = RESULT.pop("deadline_signal", None)
+        tag = f"deadline({cause}) " if cause else ""
+        RESULT["partial"] = f"{tag}{type(e).__name__}: {e}"[:120]
         import traceback
 
         traceback.print_exc(file=sys.stderr)
     finally:
         signal.alarm(0)
+        # a swallowed-signal path (handler fired, error handled downstream)
+        # still surfaces as partial rather than leaking the raw stamp
+        leftover = RESULT.pop("deadline_signal", None)
+        if leftover and "partial" not in RESULT:
+            RESULT["partial"] = f"deadline({leftover})"
         _kill_children()
         try:
             _write_sidecar()
@@ -481,7 +492,12 @@ def _write_sidecar() -> None:
     full = dict(RESULT)
     if _SIDECAR_EXTRA:
         full["scaling"] = {**full.get("scaling", {}), **_SIDECAR_EXTRA}
-    with open(os.path.join(_HERE, "BENCH_full.json"), "w") as f:
+    # env override so smoke/deadline tests don't clobber the committed
+    # artifact of record
+    path = os.environ.get(
+        "SPARK_GRAFT_BENCH_SIDECAR", os.path.join(_HERE, "BENCH_full.json")
+    )
+    with open(path, "w") as f:
         json.dump(full, f, indent=1)
 
 
