@@ -4063,3 +4063,23 @@ def calibration_curve_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("text")
     return calibration_curve(docs, _AUC_W).orderBy("bin")
+
+
+from .functions.readability import readability_oracle_sql as _read_oracle
+
+
+@register(
+    "readability_documents",
+    oracle=_read_oracle("documents") + " ORDER BY doc_id",
+)
+def readability_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with vowel-group syllable
+    counts (functions/readability.readability_stats): one map-only
+    projection, per-word folds inside the row — no shuffle, no
+    Python, no (doc, word) explode. The DuckDB oracle recomputes the
+    identical formula tree over identical splits, so every count and
+    the 6dp score are value-checked."""
+    from .functions.readability import readability_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return readability_stats(docs).orderBy("doc_id")
