@@ -4083,3 +4083,20 @@ def readability_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return readability_stats(docs).orderBy("doc_id")
+
+
+from .functions.textstats import zipf_oracle_sql as _zipf_oracle
+
+
+@register("zipf_slope_documents", oracle=_zipf_oracle("documents"))
+def zipf_slope_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf rank-frequency slope (functions/textstats
+    .zipf_slope_stats): exploded-token HashAggregate with map-side
+    partials, TakeOrderedAndProject top-1000 cut (never a
+    vocabulary-wide window), constant-partition rank over the bounded
+    frame, micro-log2-quantized BIGINT OLS sums so the one-row result
+    is shuffle-order-proof and value-checked against DuckDB."""
+    from .functions.textstats import zipf_slope_stats
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return zipf_slope_stats(docs)

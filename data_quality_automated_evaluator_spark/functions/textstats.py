@@ -234,3 +234,108 @@ def repetition_stats(
         .alias("dup_word_frac"),
         F.round(F.col("top") / F.col("total"), 6).alias("top_bigram_share"),
     )
+
+
+def zipf_slope_stats(
+    df: DataFrame, text_col: str = "text", topk: int = 1000
+) -> DataFrame:
+    """Corpus-level Zipf rank-frequency diagnostic: OLS slope of
+    log2(freq) vs log2(rank) over the top-``topk`` whitespace tokens.
+
+    Natural corpora sit near slope -1; a much flatter slope flags
+    template/boilerplate floods, a much steeper one flags
+    keyword-stuffed or truncated vocabularies — a standard one-number
+    corpus-health signal alongside the per-document Gopher/C4 rules.
+
+    Scale shape: one exploded-token HashAggregate with map-side
+    partials (the tfidf_top_terms pattern), a TakeOrderedAndProject
+    cut to ``topk`` rows (never a global window over the vocabulary),
+    then a constant-partition row_number over the <=topk-row frame
+    (warning-clean) and ONE tiny aggregate.  Nothing after the vocab
+    agg touches more than ``topk`` rows.
+
+    Cross-engine value-hash discipline (the DSIR trick): both log2
+    values are quantized to integer micro-log2 BEFORE summing, so the
+    OLS sums are BIGINT-exact and shuffle-order-proof; the final
+    slope/intercept are computed from those exact integers through an
+    arithmetic tree written identically in the DuckDB twin.  The 1e6
+    scale cancels in the slope; the intercept divides it back out.
+    """
+    from pyspark.sql import Window
+
+    words = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda w: w != F.lit(""),
+    )
+    counts = (
+        df.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("word").asc()).limit(topk)
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("cnt").desc(), F.col("word").asc()
+    )
+    ranked = top.select(F.row_number().over(w).alias("rank"), F.col("cnt"))
+    qx = F.floor(F.log2(F.col("rank")) * 1000000.0 + 0.5).cast("long")
+    qy = F.floor(F.log2(F.col("cnt")) * 1000000.0 + 0.5).cast("long")
+    s = ranked.select(qx.alias("qx"), qy.alias("qy")).agg(
+        F.count("*").alias("n"),
+        F.sum("qx").alias("sx"),
+        F.sum("qy").alias("sy"),
+        F.sum(F.col("qx") * F.col("qx")).alias("sxx"),
+        F.sum(F.col("qx") * F.col("qy")).alias("sxy"),
+    )
+    n, sx, sy, sxx, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy"))
+    slope_raw = (n * 1.0 * sxy - sx * 1.0 * sy) / (
+        n * 1.0 * sxx - sx * 1.0 * sx
+    )
+    intercept_raw = (sy * 1.0 - slope_raw * sx) / (n * 1.0) / 1000000.0
+    return s.select(
+        n.alias("n_terms"),
+        F.round(
+            F.when(n >= 2, slope_raw).otherwise(F.lit(0.0)), 6
+        ).alias("zipf_slope"),
+        F.round(
+            F.when(n >= 2, intercept_raw).otherwise(F.lit(0.0)), 6
+        ).alias("intercept_log2"),
+    )
+
+
+def zipf_oracle_sql(
+    table: str, text_col: str = "text", topk: int = 1000
+) -> str:
+    """DuckDB twin of zipf_slope_stats: identical tokenization, cut,
+    quantization and arithmetic tree."""
+    return f"""
+    WITH words AS (
+      SELECT unnest(list_filter(string_split_regex(trim(lower({text_col})),
+                                '\\s+'), w -> w <> '')) AS word
+      FROM {table}
+    ), counts AS (
+      SELECT word, count(*) AS cnt FROM words GROUP BY word
+    ), top AS (
+      SELECT word, cnt FROM counts ORDER BY cnt DESC, word ASC LIMIT {topk}
+    ), ranked AS (
+      SELECT row_number() OVER (ORDER BY cnt DESC, word ASC) AS rank, cnt
+      FROM top
+    ), q AS (
+      SELECT CAST(floor(log2(rank) * 1000000.0 + 0.5) AS BIGINT) AS qx,
+             CAST(floor(log2(cnt) * 1000000.0 + 0.5) AS BIGINT) AS qy
+      FROM ranked
+    ), s AS (
+      SELECT count(*) AS n, sum(qx) AS sx, sum(qy) AS sy,
+             sum(qx * qx) AS sxx, sum(qx * qy) AS sxy
+      FROM q
+    )
+    SELECT n AS n_terms,
+           round(CASE WHEN n >= 2 THEN
+             (n * 1.0 * sxy - sx * 1.0 * sy) / (n * 1.0 * sxx - sx * 1.0 * sx)
+             ELSE 0.0 END, 6) AS zipf_slope,
+           round(CASE WHEN n >= 2 THEN
+             ((sy * 1.0 - ((n * 1.0 * sxy - sx * 1.0 * sy)
+                / (n * 1.0 * sxx - sx * 1.0 * sx)) * sx) / (n * 1.0))
+               / 1000000.0
+             ELSE 0.0 END, 6) AS intercept_log2
+    FROM s
+    """
