@@ -4100,3 +4100,19 @@ def zipf_slope_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("text")
     return zipf_slope_stats(docs)
+
+
+from .operators.integrity import integrity_oracle_sql as _fk_oracle
+
+
+@register("referential_integrity_audit", oracle=_fk_oracle())
+def referential_integrity_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-FK-edge orphan audit over the whole star schema
+    (operators/integrity.referential_integrity_audit): null-filtered
+    LEFT ANTI join per edge (dimension parents broadcast-hinted, fact
+    edges shuffle only the key column), 1-row aggregate each, union of
+    seven 1-row frames — no collect, no window. Every count BIGINT-
+    exact; the rate is one division of exact integers."""
+    from .operators.integrity import referential_integrity_audit
+
+    return referential_integrity_audit(spark, sf_dir)
