@@ -4116,3 +4116,42 @@ def referential_integrity_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame
     from .operators.integrity import referential_integrity_audit
 
     return referential_integrity_audit(spark, sf_dir)
+
+
+from .operators.distdrift import (  # noqa: E402
+    ks_oracle_sql as _ks_oracle,
+    psi_oracle_sql as _psi_oracle,
+)
+
+
+@register(
+    "psi_drift_events",
+    oracle=_psi_oracle("events", "value", "ts", "event_type"),
+)
+def psi_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the value distribution per event
+    type between the month's first and second half
+    (operators/distdrift.psi_drift): broadcast per-group bin edges, ONE
+    map-side-combined (group, bin) count shuffle, nano-quantized BIGINT
+    term sum so the one-row-per-group PSI is shuffle-order-proof."""
+    from .operators.distdrift import psi_drift
+
+    events = _t(spark, sf_dir, "events")
+    return psi_drift(events, "value", "ts", "event_type")
+
+
+@register(
+    "ks_drift_events",
+    oracle=_ks_oracle("events", "value", "ts", "event_type"),
+)
+def ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift of the value distribution per
+    event type between month halves (operators/distdrift.ks_drift):
+    per-value counts compact the corpus in one map-side-combined
+    shuffle, then the ECDF gap window runs over the compacted frame;
+    cumulative counts are exact BIGINTs so the statistic is engine- and
+    shuffle-stable."""
+    from .operators.distdrift import ks_drift
+
+    events = _t(spark, sf_dir, "events")
+    return ks_drift(events, "value", "ts", "event_type")
