@@ -4155,3 +4155,26 @@ def ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = _t(spark, sf_dir, "events")
     return ks_drift(events, "value", "ts", "event_type")
+
+
+@register("key_skew_audit_transcripts", oracle=None)  # bound below
+def key_skew_audit_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-shuffle skew audit of the pipeline's hot key
+    (operators/skew.key_skew_audit): exact Gini / top-1 / top-1% share /
+    CV of the per-conv_id turn counts — the measurement that decides
+    whether the north rule's salted repartitioning is needed. One
+    map-side-combined key count shuffle; every rank-weighted sum runs
+    over the sqrt(2n)-bounded count histogram in exact BIGINTs."""
+    from .operators.skew import key_skew_audit
+    from .testdata import write_transcripts_parquet
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    t = spark.read.parquet(FIXTURE_TRANSCRIPTS)
+    return key_skew_audit(t, "conv_id")
+
+
+from .operators.skew import skew_oracle_sql as _skew_oracle  # noqa: E402
+
+ORACLES["key_skew_audit_transcripts"] = _skew_oracle(
+    f"read_parquet('{FIXTURE_TRANSCRIPTS}')", "conv_id"
+)

@@ -1,81 +1,82 @@
-"""Hot-key skew: one conversation at ~400x the median size must flow
-through the salted two-phase aggregation and the full pipeline with
-exact results (SURVEY §7 step 5)."""
+"""Key-skew audit — hand-computed Gini/top-share/CV values, uniform-key
+degenerate case, and parity of the histogram formulation against a naive
+sorted-index recomputation."""
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
-import pytest
+import math
+import random
 
-from data_quality_automated_evaluator_spark.pipeline.features import (
-    salted_conversation_stats,
+from data_quality_automated_evaluator_spark.operators.skew import (
+    key_skew_audit,
 )
-from data_quality_automated_evaluator_spark.pipeline.oracle import oracle_quality
-from data_quality_automated_evaluator_spark.pipeline.quality import (
-    labels_frame,
-    run_quality_pipeline,
-)
-from data_quality_automated_evaluator_spark.testdata import generate_transcripts
-
-HOT_TURNS = 20_000
 
 
-@pytest.fixture(scope="module")
-def skewed(spark):
-    base = generate_transcripts(n_convs=500, seed=13)
-    rng = np.random.default_rng(99)
-    ts0 = pd.Timestamp("2024-03-01 00:00:00")
-    hot = pd.DataFrame(
-        {
-            "conv_id": "conv_hot",
-            "turn_idx": np.arange(HOT_TURNS, dtype=np.int32),
-            "role": np.where(np.arange(HOT_TURNS) % 2 == 0, "user", "assistant"),
-            "text": [
-                f"turn {i} about the data pipeline and the quality rules"
-                for i in range(HOT_TURNS)
-            ],
-            "tool": None,
-            "ts": ts0 + pd.to_timedelta(rng.integers(0, 86_400, HOT_TURNS), unit="s"),
-        }
+def _rows_for(counts: dict[str, int]):
+    return [(k,) for k, n in counts.items() for _ in range(n)]
+
+
+def _naive(counts: list[int]):
+    x = sorted(counts)
+    n, t = len(x), sum(x)
+    s = sum((i + 1) * v for i, v in enumerate(x))
+    gini = (2.0 * s - (n + 1.0) * t) / (n * t)
+    k = math.ceil(n / 100.0)
+    top1pct = sum(sorted(x, reverse=True)[:k]) / t
+    mean = t / n
+    var = (sum(v * v for v in x) - t * t / n) / (n - 1.0) if n > 1 else 0.0
+    cv = math.sqrt(max(var, 0.0)) / mean if n > 1 else 0.0
+    return {
+        "gini": round(gini, 6),
+        "top1_share": round(max(x) / t, 6),
+        "top1pct_share": round(top1pct, 6),
+        "mean_count": round(mean, 6),
+        "cv": round(cv, 6),
+    }
+
+
+def test_hand_computed_values(spark):
+    df = spark.createDataFrame(
+        _rows_for({"a": 1, "b": 1, "c": 2, "d": 4}), ["k"]
     )
-    pdf = pd.concat([base, hot], ignore_index=True)
-    # shuffle rows so the hot conversation is scattered over input splits
-    pdf = pdf.sample(frac=1.0, random_state=7).reset_index(drop=True)
-    return pdf, spark.createDataFrame(pdf).repartition(16)
+    r = key_skew_audit(df, "k").collect()[0]
+    assert r["n_keys"] == 4 and r["n_rows"] == 8 and r["max_count"] == 4
+    # sorted x=[1,1,2,4]: Σi·x=25 → gini=(50−5·8)/(4·8)=0.3125
+    assert r["gini"] == 0.3125
+    assert r["top1_share"] == 0.5
+    assert r["top1pct_share"] == 0.5  # ceil(4/100)=1 hottest key
+    assert r["mean_count"] == 2.0
+    # sumsq=22, var=(22−16)/3=2 → cv=√2/2
+    assert r["cv"] == round(math.sqrt(2) / 2, 6)
 
 
-def test_salted_stats_exact_under_skew(spark, skewed):
-    pdf, df = skewed
-    got = salted_conversation_stats(df).toPandas().set_index("conv_id")
-    assert got.loc["conv_hot", "n_turns"] == HOT_TURNS
-    exp_chars = int(pdf.loc[pdf["conv_id"] == "conv_hot", "text"].str.len().sum())
-    assert got.loc["conv_hot", "total_chars"] == exp_chars
-    # every conversation exact, not just the hot one
-    exp_n = pdf.groupby("conv_id").size()
-    assert (got["n_turns"].sort_index() == exp_n.sort_index()).all()
-    # n_roles is EXACT (set-merge across salt buckets), not a per-bucket
-    # lower bound: the hot conv alternates user/assistant → exactly 2,
-    # and every conversation matches pandas nunique
-    assert got.loc["conv_hot", "n_roles"] == 2
-    exp_roles = pdf.groupby("conv_id")["role"].nunique()
-    assert (got["n_roles"].sort_index() == exp_roles.sort_index()).all()
-
-
-def test_pipeline_labels_exact_under_skew(spark, skewed):
-    pdf, df = skewed
-    got = (
-        labels_frame(run_quality_pipeline(df))
-        .toPandas()
-        .sort_values(["conv_id", "turn_idx"])
-        .reset_index(drop=True)
+def test_uniform_keys_zero_skew(spark):
+    df = spark.createDataFrame(
+        _rows_for({f"k{i}": 3 for i in range(20)}), ["k"]
     )
-    exp = oracle_quality(pdf).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
-    assert len(got) == len(exp) == len(pdf)
-    assert (got["conv_id"].values == exp["conv_id"].values).all()
-    agree = (got["keep"].values == exp["keep"].values).mean()
-    assert agree >= 0.999, f"keep agreement {agree}"
-    # the hot conversation's own labels are exact
-    hg = got[got["conv_id"] == "conv_hot"]
-    he = exp[exp["conv_id"] == "conv_hot"]
-    assert (hg["keep"].values == he["keep"].values).all()
+    r = key_skew_audit(df, "k").collect()[0]
+    assert r["gini"] == 0.0 and r["cv"] == 0.0
+    assert r["top1_share"] == round(3 / 60, 6)
+    assert r["top1pct_share"] == round(3 / 60, 6)
+
+
+def test_histogram_path_matches_naive_sorted_index(spark):
+    rng = random.Random(7)
+    counts = {f"k{i:03d}": rng.choice([1, 1, 1, 2, 2, 3, 5, 8, 40])
+              for i in range(150)}
+    df = spark.createDataFrame(_rows_for(counts), ["k"])
+    r = key_skew_audit(df, "k").collect()[0]
+    exp = _naive(list(counts.values()))
+    for field, want in exp.items():
+        assert r[field] == want, field
+    assert r["n_keys"] == 150 and r["n_rows"] == sum(counts.values())
+
+
+def test_hot_key_dominates(spark):
+    counts = {f"k{i}": 1 for i in range(99)}
+    counts["hot"] = 901
+    df = spark.createDataFrame(_rows_for(counts), ["k"])
+    r = key_skew_audit(df, "k").collect()[0]
+    assert r["top1_share"] == 0.901
+    assert r["top1pct_share"] == 0.901  # ceil(100/100)=1 key
+    assert r["gini"] > 0.85
