@@ -4178,3 +4178,42 @@ from .operators.skew import skew_oracle_sql as _skew_oracle  # noqa: E402
 ORACLES["key_skew_audit_transcripts"] = _skew_oracle(
     f"read_parquet('{FIXTURE_TRANSCRIPTS}')", "conv_id"
 )
+
+
+from .operators.sampling import (  # noqa: E402
+    token_budget_oracle_sql as _tb_oracle,
+)
+
+
+@register(
+    "token_budget_mix_documents",
+    oracle=_tb_oracle(
+        "documents",
+        "source",
+        "n_chars",
+        "doc_id",
+        r"len(regexp_extract_all(text, '\S+'))",
+        800,
+    ),
+)
+def token_budget_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget data mixing
+    (operators/sampling.token_budget_select): longest-first greedy fill
+    of an 800-whitespace-token allowance per source — one cumulative
+    BIGINT window per group over the (priority, key) order, exact keep
+    frontier, JVM-side token counts (functions/textstats.TOKEN_CLASS)."""
+    from .functions.textstats import TOKEN_CLASS
+    from .operators.sampling import token_budget_select
+
+    docs = _t(spark, sf_dir, "documents")
+    out = token_budget_select(
+        docs,
+        group_col="source",
+        priority_col="n_chars",
+        key_col="doc_id",
+        token_count_col=F.regexp_count("text", F.lit(TOKEN_CLASS)),
+        budget=800,
+    )
+    return out.select(
+        "doc_id", "source", "n_tokens", "cum_tokens", "keep"
+    ).orderBy("doc_id")

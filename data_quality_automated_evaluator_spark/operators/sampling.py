@@ -352,3 +352,63 @@ def temperature_mix_oracle_sql(
     FROM {table} d JOIN thr USING ({strata_col})
     WHERE {_bucket_expr(key)} < thr.threshold
     """
+
+
+def token_budget_select(
+    df: DataFrame,
+    group_col: str,
+    priority_col: str,
+    key_col: str,
+    token_count_col,
+    budget: int,
+) -> DataFrame:
+    """Greedy per-group token-budget selection: order each group by
+    ``priority_col`` DESC (``key_col`` ASC tiebreak) and keep rows while
+    the running token total stays within ``budget``.
+
+    The data-mixing step of a training run: each domain/source gets an
+    absolute token allowance and the highest-priority documents fill it
+    first.  ONE window per group — a cumulative BIGINT sum over the
+    (priority, key) order, so the keep frontier is exact and engine-
+    portable (no float weights).  At 10^12 rows the shuffle keys on the
+    group column; domains are numerous so the per-group windows
+    parallelize, and a hot domain still only sorts its own rows
+    (the audit in operators/skew decides when that needs salting).
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(priority_col).desc(), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("n_tokens", token_count_col.cast("bigint"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn("keep", F.col("cum_tokens") <= F.lit(int(budget)))
+    )
+
+
+def token_budget_oracle_sql(
+    table: str,
+    group: str,
+    priority: str,
+    key: str,
+    token_expr: str,
+    budget: int,
+) -> str:
+    """DuckDB twin of :func:`token_budget_select` (projected columns)."""
+    return f"""
+    WITH toks AS (
+      SELECT {key}, {group}, CAST({token_expr} AS BIGINT) AS n_tokens,
+             {priority} AS pri
+      FROM {table}
+    )
+    SELECT {key}, {group}, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY {group}
+                               ORDER BY pri DESC, {key}
+                               ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+           sum(n_tokens) OVER (PARTITION BY {group}
+                               ORDER BY pri DESC, {key}
+                               ROWS UNBOUNDED PRECEDING) <= {int(budget)}
+             AS keep
+    FROM toks ORDER BY {key}
+    """

@@ -76,3 +76,53 @@ def test_plan_is_take_ordered(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# token_budget_select — greedy per-group budget fill
+
+
+def test_token_budget_frontier_exact(spark):
+    from pyspark.sql import functions as F
+
+    from data_quality_automated_evaluator_spark.operators.sampling import (
+        token_budget_select,
+    )
+
+    rows = [
+        # (doc_id, source, priority, tokens) — srcA fills 10 exactly
+        (1, "A", 50, 6),
+        (2, "A", 40, 4),   # cum=10 == budget → keep (inclusive frontier)
+        (3, "A", 30, 1),   # cum=11 → drop
+        (4, "B", 10, 20),  # first row already over budget → drop
+        (5, "B", 5, 3),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "pri", "tok"])
+    out = token_budget_select(
+        df, "source", "pri", "doc_id", F.col("tok"), budget=10
+    )
+    got = {r["doc_id"]: (r["cum_tokens"], r["keep"]) for r in out.collect()}
+    assert got == {
+        1: (6, True),
+        2: (10, True),
+        3: (11, False),
+        4: (20, False),
+        5: (23, False),
+    }
+
+
+def test_token_budget_priority_tiebreak_on_key(spark):
+    from pyspark.sql import functions as F
+
+    from data_quality_automated_evaluator_spark.operators.sampling import (
+        token_budget_select,
+    )
+
+    rows = [(2, "A", 7, 5), (1, "A", 7, 5), (3, "A", 7, 5)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "pri", "tok"])
+    out = token_budget_select(
+        df, "source", "pri", "doc_id", F.col("tok"), budget=10
+    )
+    got = {r["doc_id"]: r["keep"] for r in out.collect()}
+    # equal priority → doc_id ascending fills the budget
+    assert got == {1: True, 2: True, 3: False}
