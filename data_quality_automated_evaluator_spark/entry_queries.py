@@ -4217,3 +4217,51 @@ def token_budget_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "source", "n_tokens", "cum_tokens", "keep"
     ).orderBy("doc_id")
+
+
+def _encoding_audit_oracle() -> str:
+    from .functions.encoding import (
+        MOJI_SUFFIX,
+        REPL_SUFFIX,
+        encoding_audit_oracle_sql,
+    )
+
+    aug = f"""(
+      SELECT source,
+             text
+               || (CASE WHEN doc_id % 7 = 0 THEN '{MOJI_SUFFIX}' ELSE '' END)
+               || (CASE WHEN doc_id % 11 = 0 THEN '{REPL_SUFFIX}' ELSE '' END)
+               || (CASE WHEN doc_id % 13 = 0 THEN chr(133) ELSE '' END)
+               AS text
+      FROM documents
+    )"""
+    return encoding_audit_oracle_sql(aug, "text", "source")
+
+
+@register("encoding_audit_documents", oracle=_encoding_audit_oracle())
+def encoding_audit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-health audit (functions/encoding.encoding_audit):
+    replacement-char / cp1252-mojibake / C1-control / non-ASCII counts
+    per source, map-only JVM regexp_count into one map-side-combined
+    groupBy. The ASCII test corpus is augmented with defects planted on
+    a doc_id lattice — identical literals in the DuckDB oracle — so the
+    detectors are exercised with positive counts, not vacuous zeros."""
+    from .functions.encoding import MOJI_SUFFIX, REPL_SUFFIX, encoding_audit
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(MOJI_SUFFIX)).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(REPL_SUFFIX)).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 13 == 0, F.expr("char(133)")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return encoding_audit(aug, "text", "source")
