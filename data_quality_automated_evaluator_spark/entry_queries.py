@@ -4265,3 +4265,24 @@ def encoding_audit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return encoding_audit(aug, "text", "source")
+
+
+from .operators.robust import trimmed_oracle_sql as _trim_oracle  # noqa: E402
+
+
+@register(
+    "trimmed_stats_events_daily",
+    oracle=_trim_oracle("events", "value", "ts", "event_type", "event_id"),
+)
+def trimmed_stats_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-interval stats (operators/robust.trimmed_interval_stats):
+    exact 5%-trimmed and winsorized daily means per event type. Trimming
+    by integer row_number ranks (deterministic id tiebreak; equal values
+    fungible) — no percentile-interpolation seam, so the result is
+    value-checkable. Rank window and final groupBy share one Exchange."""
+    from .operators.robust import trimmed_interval_stats
+
+    events = _t(spark, sf_dir, "events")
+    return trimmed_interval_stats(
+        events, "value", "ts", "event_type", "event_id"
+    )

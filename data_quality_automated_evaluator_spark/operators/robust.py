@@ -1,0 +1,115 @@
+"""Robust interval statistics: exact trimmed and winsorized means.
+
+The reference's stage-2 evaluation flags outliers with IQR/z masks
+(reference evaluate.py; this repo's operators/evaluate.py).  The robust
+complement is to report interval means that outliers cannot drag: the
+α-trimmed mean (drop the k = floor(α·n) smallest and largest values)
+and the winsorized mean (clamp them to the surviving extremes).
+
+Exactness: trimming is defined by *integer ranks*, not quantile
+interpolation — ``row_number`` over (value, id) with a deterministic id
+tiebreak, against the partition count.  Equal values are fungible in
+both statistics, so the tiebreak never changes the result; there is no
+percentile-interpolation seam between engines, which is what makes this
+value-checkable where a ``percentile_cont``-based trim would not be.
+
+Spark-first shape: the rank window and the final ``groupBy`` share the
+same (group, interval) partitioning, so Catalyst plans ONE Exchange; at
+10^12 rows the windows parallelize across the (type × day) grid and no
+partition sees more than one interval's rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["trimmed_interval_stats", "trimmed_oracle_sql"]
+
+
+def trimmed_interval_stats(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Per (group, day): n, mean, α-trimmed mean, winsorized mean."""
+    day = F.date_trunc("day", F.col(ts_col)).alias("day")
+    rows = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col), day, F.col(value_col).alias("v"), F.col(id_col)
+    )
+    wp = Window.partitionBy(group_col, "day")
+    w = wp.orderBy("v", id_col)
+    ranked = (
+        rows.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wp))
+        .withColumn("k", F.floor(F.col("n") * F.lit(float(alpha))))
+    )
+    kept = (F.col("rn") > F.col("k")) & (
+        F.col("rn") <= F.col("n") - F.col("k")
+    )
+    return (
+        ranked.groupBy(group_col, "day")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.round(F.avg("v"), 6).alias("mean"),
+            F.round(
+                F.sum(F.when(kept, F.col("v")))
+                / (F.max("n") - 2 * F.max("k")),
+                6,
+            ).alias("trimmed_mean"),
+            F.round(
+                (
+                    F.sum(F.when(kept, F.col("v")))
+                    + F.max("k") * F.min(F.when(kept, F.col("v")))
+                    + F.max("k") * F.max(F.when(kept, F.col("v")))
+                )
+                / F.max("n"),
+                6,
+            ).alias("winsorized_mean"),
+        )
+        .orderBy(group_col, "day")
+    )
+
+
+def trimmed_oracle_sql(
+    table: str,
+    value: str,
+    ts: str,
+    group: str,
+    id_: str,
+    alpha: float = 0.05,
+) -> str:
+    """DuckDB twin of :func:`trimmed_interval_stats` (same expressions)."""
+    return f"""
+    WITH rows_ AS (
+      SELECT {group} AS g, date_trunc('day', {ts}) AS day,
+             {value} AS v, {id_} AS id
+      FROM {table} WHERE {value} IS NOT NULL
+    ),
+    ranked AS (
+      SELECT g, day, v,
+             row_number() OVER (PARTITION BY g, day ORDER BY v, id) AS rn,
+             count(*) OVER (PARTITION BY g, day) AS n
+      FROM rows_
+    ),
+    flagged AS (
+      SELECT g, day, v, n,
+             CAST(floor(n * {float(alpha)}) AS BIGINT) AS k,
+             rn > CAST(floor(n * {float(alpha)}) AS BIGINT)
+               AND rn <= n - CAST(floor(n * {float(alpha)}) AS BIGINT)
+               AS kept
+      FROM ranked
+    )
+    SELECT g AS {group}, day, CAST(max(n) AS BIGINT) AS n,
+           round(avg(v), 6) AS mean,
+           round(sum(CASE WHEN kept THEN v END)
+                 / (max(n) - 2 * max(k)), 6) AS trimmed_mean,
+           round((sum(CASE WHEN kept THEN v END)
+                  + max(k) * min(CASE WHEN kept THEN v END)
+                  + max(k) * max(CASE WHEN kept THEN v END))
+                 / max(n), 6) AS winsorized_mean
+    FROM flagged GROUP BY g, day ORDER BY g, day
+    """
