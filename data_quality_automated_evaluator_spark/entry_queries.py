@@ -4286,3 +4286,21 @@ def trimmed_stats_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trimmed_interval_stats(
         events, "value", "ts", "event_type", "event_id"
     )
+
+
+from .operators.profile import freshness_oracle_sql as _fresh_oracle  # noqa: E402
+
+
+@register(
+    "freshness_audit_events",
+    oracle=_fresh_oracle("events", "ts", "event_type"),
+)
+def freshness_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type freshness audit (operators/profile.freshness_audit):
+    lag of each group's newest row behind the global watermark in exact
+    interval-cast seconds (no session-tz epoch round-trip), stale flag at
+    24h. Tiny per-group aggregate + broadcast 1-row watermark."""
+    from .operators.profile import freshness_audit
+
+    events = _t(spark, sf_dir, "events")
+    return freshness_audit(events, "ts", "event_type")

@@ -93,3 +93,71 @@ def profile_table(
             f"stack({len(metrics)}, {stack_args}) AS (column, metric, value)"
         )
     )
+
+
+def freshness_audit(
+    df: DataFrame,
+    ts_col: str,
+    group_col: str,
+    stale_hours: float = 24.0,
+) -> DataFrame:
+    """Per-group data-freshness audit: how far each group's newest row
+    lags the table's newest row, and whether the group is stale.
+
+    The ingestion-break detector a 100 TB pipeline runs before anything
+    else: a source whose ``max(ts)`` trails the global watermark by more
+    than ``stale_hours`` stopped arriving.  Two tiny aggregates — the
+    per-group one shuffles only (group, max_ts, counts); the 1-row
+    global watermark broadcasts back — and lag is computed with the
+    session-tz-free interval cast (no epoch round-trip), in exact
+    seconds.
+    """
+    per_group = df.groupBy(group_col).agg(
+        F.max(ts_col).alias("max_ts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    watermark = df.agg(F.max(ts_col).alias("__wm"))
+    # Truncate both endpoints to whole seconds first: Spark's interval
+    # cast truncates the *duration* while DuckDB's date_diff counts
+    # *boundary crossings* — on whole-second timestamps the two agree
+    # exactly (and second resolution is ample for a freshness audit).
+    lag_sec = (
+        (
+            F.date_trunc("second", F.col("__wm"))
+            - F.date_trunc("second", F.col("max_ts"))
+        )
+        .cast("interval day to second")
+        .cast("long")
+    )
+    return (
+        per_group.crossJoin(F.broadcast(watermark))
+        .select(
+            group_col,
+            "max_ts",
+            "n_rows",
+            F.round(lag_sec / 3600.0, 6).alias("lag_hours"),
+            (lag_sec > F.lit(int(stale_hours * 3600))).alias("stale"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def freshness_oracle_sql(
+    table: str, ts: str, group: str, stale_hours: float = 24.0
+) -> str:
+    """DuckDB twin of :func:`freshness_audit` (date_diff seconds)."""
+    return f"""
+    WITH per_group AS (
+      SELECT {group} AS g, max({ts}) AS max_ts, count(*) AS n_rows
+      FROM {table} GROUP BY 1
+    ),
+    wm AS (SELECT max({ts}) AS w FROM {table})
+    SELECT g AS {group}, max_ts, CAST(n_rows AS BIGINT) AS n_rows,
+           round(date_diff('second', date_trunc('second', max_ts),
+                           date_trunc('second', w)) / 3600.0, 6)
+             AS lag_hours,
+           date_diff('second', date_trunc('second', max_ts),
+                     date_trunc('second', w)) > {int(stale_hours * 3600)}
+             AS stale
+    FROM per_group, wm ORDER BY g
+    """

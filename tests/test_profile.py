@@ -68,3 +68,46 @@ def test_single_scan_and_approx_drops_expand(table):
     assert "Expand" in exact
     approx = _plan(profile_table(table, approx=True))
     assert "Expand" not in approx
+
+
+# ---------------------------------------------------------------------------
+# freshness_audit — stale-source detection
+
+
+def test_freshness_flags_stale_group(spark):
+    import datetime as dt
+
+    from data_quality_automated_evaluator_spark.operators.profile import (
+        freshness_audit,
+    )
+
+    wm = dt.datetime(2024, 6, 10, 12, 0, 0)
+    rows = [
+        ("live", wm, 1),
+        ("live", wm - dt.timedelta(hours=2), 2),
+        ("lagging", wm - dt.timedelta(hours=23), 3),
+        ("stale", wm - dt.timedelta(hours=25), 4),
+    ]
+    df = spark.createDataFrame(rows, ["src", "ts", "id"])
+    out = {r["src"]: r for r in freshness_audit(df, "ts", "src").collect()}
+    assert out["live"]["lag_hours"] == 0.0 and out["live"]["stale"] is False
+    assert out["live"]["n_rows"] == 2
+    assert out["lagging"]["lag_hours"] == 23.0
+    assert out["lagging"]["stale"] is False  # 24h threshold exclusive
+    assert out["stale"]["lag_hours"] == 25.0 and out["stale"]["stale"] is True
+
+
+def test_freshness_subsecond_lag_truncates_to_seconds(spark):
+    import datetime as dt
+
+    from data_quality_automated_evaluator_spark.operators.profile import (
+        freshness_audit,
+    )
+
+    wm = dt.datetime(2024, 6, 10, 12, 0, 0, 900000)
+    rows = [("a", wm, 1), ("b", wm - dt.timedelta(seconds=1, microseconds=800000), 2)]
+    df = spark.createDataFrame(rows, ["src", "ts", "id"])
+    out = {r["src"]: r for r in freshness_audit(df, "ts", "src").collect()}
+    # whole-second truncation on both endpoints: 12:00:00.9 vs 11:59:59.1
+    # → trunc 12:00:00 − 11:59:59 = 1 s exactly
+    assert out["b"]["lag_hours"] == round(1 / 3600.0, 6)
