@@ -4304,3 +4304,26 @@ def freshness_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = _t(spark, sf_dir, "events")
     return freshness_audit(events, "ts", "event_type")
+
+
+@register("response_latency_transcripts", oracle=None)  # bound below
+def response_latency_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day agent response-latency audit
+    (pipeline/convchecks.response_latency_stats): user→assistant turn
+    gaps in exact whole seconds (second-truncated endpoints — the
+    date_diff/interval-cast parity trick), mean/max/slow-share per day.
+    One conv_id window feeding a tiny day aggregate; text never
+    shuffles."""
+    from .pipeline.convchecks import response_latency_stats
+    from .testdata import write_transcripts_parquet
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    t = spark.read.parquet(FIXTURE_TRANSCRIPTS)
+    return response_latency_stats(t)
+
+
+from .pipeline.convchecks import (  # noqa: E402
+    response_latency_oracle_sql as _latency_oracle,
+)
+
+ORACLES["response_latency_transcripts"] = _latency_oracle(FIXTURE_TRANSCRIPTS)

@@ -139,3 +139,91 @@ def tool_pairing_stats(df: DataFrame) -> DataFrame:
             (F.col("n_orphan_tool") == 0) & (F.col("n_tool_mismatch") == 0),
         )
     )
+
+
+def response_latency_stats(
+    df: DataFrame, slow_threshold_sec: int = 60
+) -> DataFrame:
+    """Per-day agent response-latency audit: the gap between each user
+    turn and the assistant turn that answers it.
+
+    An operational-health signal over agent transcripts — rising
+    response latency (or a spike in the slow-response share) flags a
+    degrading serving stack long before quality rules do.  One window
+    per ``conv_id`` ordered by ``turn_idx`` (lag of role and timestamp)
+    feeds a tiny per-day aggregate, sharing the conversation Exchange;
+    the shuffle carries (conv_id, turn_idx, role, ts) — never text.
+
+    Gap seconds are exact: both timestamps truncate to whole seconds
+    first, so Spark's interval-duration cast and DuckDB's
+    boundary-counting ``date_diff`` agree (same trick as
+    operators/profile.freshness_audit).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    turns = df.select("conv_id", "turn_idx", "role", "ts")
+    gaps = (
+        turns.withColumn("prev_role", F.lag("role").over(w))
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .where((F.col("prev_role") == "user") & (F.col("role") == "assistant"))
+        .withColumn(
+            "gap_sec",
+            (
+                F.date_trunc("second", F.col("ts"))
+                - F.date_trunc("second", F.col("prev_ts"))
+            )
+            .cast("interval day to second")
+            .cast("long"),
+        )
+    )
+    return (
+        gaps.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_responses"),
+            F.round(F.sum("gap_sec") / F.count(F.lit(1)), 6).alias(
+                "mean_gap_sec"
+            ),
+            F.max("gap_sec").alias("max_gap_sec"),
+            F.round(
+                F.sum(
+                    (F.col("gap_sec") > F.lit(int(slow_threshold_sec))).cast(
+                        "int"
+                    )
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("slow_share"),
+        )
+        .orderBy("day")
+    )
+
+
+def response_latency_oracle_sql(
+    path: str, slow_threshold_sec: int = 60
+) -> str:
+    """DuckDB twin of :func:`response_latency_stats`."""
+    return f"""
+    WITH turns AS (
+      SELECT conv_id, turn_idx, role, ts FROM read_parquet('{path}')
+    ),
+    lagged AS (
+      SELECT conv_id, role, ts,
+             lag(role) OVER w AS prev_role,
+             lag(ts) OVER w AS prev_ts
+      FROM turns
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    ),
+    gaps AS (
+      SELECT ts,
+             date_diff('second', date_trunc('second', prev_ts),
+                       date_trunc('second', ts)) AS gap_sec
+      FROM lagged
+      WHERE prev_role = 'user' AND role = 'assistant'
+    )
+    SELECT date_trunc('day', ts) AS day,
+           count(*) AS n_responses,
+           round(sum(gap_sec) / count(*), 6) AS mean_gap_sec,
+           CAST(max(gap_sec) AS BIGINT) AS max_gap_sec,
+           round(sum(CASE WHEN gap_sec > {int(slow_threshold_sec)}
+                          THEN 1 ELSE 0 END) / count(*), 6) AS slow_share
+    FROM gaps GROUP BY 1 ORDER BY 1
+    """

@@ -116,3 +116,65 @@ def test_gopher_metrics_plan_is_map_only(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1  # only the orderBy's rangepartitioning
     assert "Python" not in plan and "Arrow" not in plan
+
+
+# ---------------------------------------------------------------------------
+# response_latency_stats — user→assistant gap audit
+
+
+def test_response_latency_hand_computed(spark):
+    import datetime as dt
+
+    from data_quality_automated_evaluator_spark.pipeline.convchecks import (
+        response_latency_stats,
+    )
+
+    t0 = dt.datetime(2024, 7, 1, 10, 0, 0)
+
+    def turn(conv, idx, role, sec):
+        return (conv, idx, role, "txt", None, t0 + dt.timedelta(seconds=sec))
+
+    rows = [
+        turn("c1", 0, "user", 0),
+        turn("c1", 1, "assistant", 5),     # gap 5
+        turn("c1", 2, "user", 10),
+        turn("c1", 3, "assistant", 100),   # gap 90 → slow (>60)
+        turn("c2", 0, "user", 0),
+        turn("c2", 1, "tool", 1),          # not a user→assistant pair
+        turn("c2", 2, "assistant", 3),     # prev is tool → excluded
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = response_latency_stats(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_responses"] == 2
+    assert r["mean_gap_sec"] == 47.5
+    assert r["max_gap_sec"] == 90
+    assert r["slow_share"] == 0.5
+
+
+def test_response_latency_subsecond_truncation(spark):
+    import datetime as dt
+
+    from data_quality_automated_evaluator_spark.pipeline.convchecks import (
+        response_latency_stats,
+    )
+
+    t0 = dt.datetime(2024, 7, 1, 10, 0, 0, 900000)
+    rows = [
+        ("c", 0, "user", "q", None, t0),
+        ("c", 1, "assistant", "a", None,
+         t0 + dt.timedelta(seconds=1, microseconds=200000)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    r = response_latency_stats(df).collect()[0]
+    # 10:00:00.9 → 10:00:02.1: whole-second truncation gives 2 − 0 = 2
+    assert r["max_gap_sec"] == 2
