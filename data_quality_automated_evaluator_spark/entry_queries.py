@@ -4327,3 +4327,48 @@ from .pipeline.convchecks import (  # noqa: E402
 )
 
 ORACLES["response_latency_transcripts"] = _latency_oracle(FIXTURE_TRANSCRIPTS)
+
+
+from .operators.robust import (  # noqa: E402
+    exact_quantiles_oracle_sql as _quant_oracle,
+)
+
+
+@register(
+    "exact_quantiles_events_daily",
+    oracle=_quant_oracle("events", "value", "ts", "event_type", "event_id"),
+)
+def exact_quantiles_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order-statistic p50/p90/p99 per event type per day
+    (operators/robust.exact_quantiles_by_interval): integer-rank lookup
+    at ceil(q*n) over a (value, id)-ordered window — no interpolation,
+    no engine seam; rank window and groupBy share one Exchange."""
+    from .operators.robust import exact_quantiles_by_interval
+
+    events = _t(spark, sf_dir, "events")
+    return exact_quantiles_by_interval(
+        events, "value", "ts", "event_type", "event_id"
+    )
+
+
+from .operators.sampling import (  # noqa: E402
+    quality_tiers_oracle_sql as _tiers_oracle,
+)
+
+
+@register(
+    "quality_tiers_documents",
+    oracle=_tiers_oracle("documents", "source", "n_chars", "doc_id"),
+)
+def quality_tiers_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality tiering (operators/sampling.quality_tiers):
+    quartile assignment by integer row_number ranks — exact balanced
+    tier boundaries, no ntile implementation seam. Curriculum/mixing
+    schedules consume the tier column directly."""
+    from .operators.sampling import quality_tiers
+
+    docs = _t(spark, sf_dir, "documents")
+    out = quality_tiers(docs, "source", "n_chars", "doc_id")
+    return out.select(
+        "doc_id", "source", F.col("n_chars").alias("score"), "tier"
+    ).orderBy("doc_id")

@@ -113,3 +113,75 @@ def trimmed_oracle_sql(
                  / max(n), 6) AS winsorized_mean
     FROM flagged GROUP BY g, day ORDER BY g, day
     """
+
+
+def exact_quantiles_by_interval(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    group_col: str,
+    id_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact order-statistic quantiles per (group, day): the value at
+    ``row_number == ceil(q·n)`` ordered by (value, id).
+
+    No interpolation and no engine seam — ``percentile_cont`` variants
+    disagree across engines on interpolation and tie handling, while the
+    order-statistic definition is a pure integer-rank lookup, so this is
+    value-checkable.  Same single-Exchange shape as
+    :func:`trimmed_interval_stats`: the rank window and the final
+    ``groupBy`` share the (group, day) partitioning.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).alias("day")
+    rows = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col), day, F.col(value_col).alias("v"), F.col(id_col)
+    )
+    wp = Window.partitionBy(group_col, "day")
+    ranked = rows.withColumn(
+        "rn", F.row_number().over(wp.orderBy("v", id_col))
+    ).withColumn("n", F.count(F.lit(1)).over(wp))
+    aggs = [F.max("n").cast("bigint").alias("n")]
+    for q in qs:
+        target = F.ceil(F.col("n") * F.lit(float(q)))
+        label = f"p{int(round(q * 100))}"
+        aggs.append(
+            F.round(
+                F.max(F.when(F.col("rn") == target, F.col("v"))), 6
+            ).alias(label)
+        )
+    return ranked.groupBy(group_col, "day").agg(*aggs).orderBy(group_col, "day")
+
+
+def exact_quantiles_oracle_sql(
+    table: str,
+    value: str,
+    ts: str,
+    group: str,
+    id_: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> str:
+    """DuckDB twin of :func:`exact_quantiles_by_interval`."""
+    sels = []
+    for q in qs:
+        label = f"p{int(round(q * 100))}"
+        sels.append(
+            f"round(max(CASE WHEN rn = CAST(ceil(n * {float(q)}) AS BIGINT)"
+            f" THEN v END), 6) AS {label}"
+        )
+    return f"""
+    WITH rows_ AS (
+      SELECT {group} AS g, date_trunc('day', {ts}) AS day,
+             {value} AS v, {id_} AS id
+      FROM {table} WHERE {value} IS NOT NULL
+    ),
+    ranked AS (
+      SELECT g, day, v,
+             row_number() OVER (PARTITION BY g, day ORDER BY v, id) AS rn,
+             count(*) OVER (PARTITION BY g, day) AS n
+      FROM rows_
+    )
+    SELECT g AS {group}, day, CAST(max(n) AS BIGINT) AS n,
+           {", ".join(sels)}
+    FROM ranked GROUP BY g, day ORDER BY g, day
+    """

@@ -412,3 +412,57 @@ def token_budget_oracle_sql(
              AS keep
     FROM toks ORDER BY {key}
     """
+
+
+def quality_tiers(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    key_col: str,
+    n_tiers: int = 4,
+) -> DataFrame:
+    """Per-group quality tiering for curriculum / mixing schedules:
+    rank rows by ``score_col`` DESC within each group and assign tier
+    ``((rank-1) · n_tiers) div n`` — tier 0 is the best quantile, sizes
+    balanced to within one row.
+
+    Pure integer arithmetic on ``row_number`` ranks (deterministic
+    ``key_col`` tiebreak), so tier boundaries are exact and engine-
+    portable — no ``ntile`` implementation seam.  One window per group;
+    groups are numerous at scale so the shuffle parallelizes.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(key_col)
+    )
+    wp = Window.partitionBy(group_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wp))
+        .withColumn(
+            "tier",
+            F.expr(f"((__rn - 1) * {int(n_tiers)}) div __n").cast("int"),
+        )
+        .drop("__rn", "__n")
+    )
+
+
+def quality_tiers_oracle_sql(
+    table: str,
+    group: str,
+    score: str,
+    key: str,
+    n_tiers: int = 4,
+) -> str:
+    """DuckDB twin of :func:`quality_tiers` (projected key/group/tier)."""
+    return f"""
+    WITH ranked AS (
+      SELECT {key}, {group}, {score} AS score,
+             row_number() OVER (PARTITION BY {group}
+                                ORDER BY {score} DESC, {key}) AS rn,
+             count(*) OVER (PARTITION BY {group}) AS n
+      FROM {table}
+    )
+    SELECT {key}, {group}, score,
+           CAST(((rn - 1) * {int(n_tiers)}) // n AS INTEGER) AS tier
+    FROM ranked ORDER BY {key}
+    """
