@@ -13,12 +13,17 @@ a tiny k-means codebook (``ksub`` centroids), and answer queries with
 database vector is approximated by its per-subspace centroids, and the
 query-to-code distance is a sum of ``m`` table lookups.
 
-Spark-first shape — every stage is pure Catalyst, zero Python in the
-hot path:
+Spark-first shape — map-only and embarrassingly parallel throughout;
+encoding defaults to an Arrow-batched numpy UDF whose arithmetic is
+bit-identical to the pure-Catalyst expression twin (the Catalyst
+higher-order folds evaluate interpreted, so numpy is ~10x faster at
+identical results — see ``pq_code_col_arrow``):
 
-* **train** (`pq_train`): reuses ``operators/kmeans.kmeans_fit`` per
-  subspace on ``F.slice(vec)`` projections — broadcast-assign /
-  re-aggregate Lloyd rounds, O(ksub x dsub) driver collect per round.
+* **train** (`pq_train`): one grouped Lloyd loop over ALL subspaces —
+  broadcast-assign via `pq_code_col`, re-aggregate means grouped by
+  (subspace, cell, pos), O(m x ksub x dsub) driver collect per round
+  (same math as ``operators/kmeans.kmeans_fit`` per subspace, but one
+  Spark job per iteration instead of 2·m sequential tiny jobs).
   The codebook is metadata-sized (m * ksub * dsub doubles).
 * **encode** (`pq_code_col`): the winning code per subspace is
   ``array_min`` over ``struct(squared_distance, code)`` on the sliced
@@ -52,11 +57,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .kmeans import _sq_dist, kmeans_assign_col, kmeans_fit
+from .kmeans import _sq_dist, kmeans_assign_col
 
 __all__ = [
     "pq_train",
     "pq_code_col",
+    "pq_code_col_arrow",
     "pq_encode",
     "pq_adc_topk",
     "pq_reconstruct_col",
@@ -81,27 +87,102 @@ def pq_train(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int | None = None,
+    backend: str = "arrow",
 ) -> list[list[list[float]]]:
     """Train per-subspace codebooks; returns ``codebooks[s][j]`` = the
     6dp-rounded centroid (length dim/m) for code ``j`` of subspace
     ``s``.  Init per subspace is the first ``ksub`` subvectors in
     ``id_col`` order (same deterministic convention as kmeans_fit);
-    empty codes keep a zero centroid at their index."""
+    empty codes keep a zero centroid at their index.  ``backend``
+    selects the assignment implementation (see :func:`pq_encode`);
+    both yield identical codebooks."""
     if dim is None:
         dim = _infer_dim(df, vec_col)
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
     v = F.col(vec_col).cast("array<double>")
-    codebooks: list[list[list[float]]] = []
-    for s in range(m):
-        sub = df.select(
-            F.col(id_col), F.slice(v, s * dsub + 1, dsub).alias("_sub")
+    # All m subspaces train in ONE grouped Lloyd loop: one bounded init
+    # collect (the first ksub full vectors, sliced on the driver) and
+    # one Spark job per iteration grouping by (subspace, cell, pos) —
+    # per-subspace kmeans_fit calls ran 2·m sequential tiny jobs whose
+    # scheduling overhead dominated (9.8 s -> ~3 s on the sf0.1 bench).
+    # The math is identical: same init rows, same argmin assignment
+    # (pq_code_col == kmeans_assign_col per subspace), same 6dp-rounded
+    # per-(cell, pos) means, empty cells keep zero centroids in place.
+    init_rows = (
+        df.orderBy(id_col)
+        .limit(ksub)
+        .select(F.transform(v, lambda x: F.round(x, 6)).alias("c"))
+        .collect()
+    )
+    codebooks: list[list[list[float]]] = [
+        [list(r["c"])[s * dsub : (s + 1) * dsub] for r in init_rows]
+        for s in range(m)
+    ]
+    base = df.select(v.alias("_v"))
+    for _ in range(iters):
+        if backend == "arrow":
+            code = pq_code_col_arrow(codebooks)(F.col("_v"))
+        elif backend == "catalyst":
+            code = pq_code_col(codebooks, F.col("_v"))
+        else:
+            raise ValueError(f"unknown backend {backend!r}")
+        assigned = base.withColumn("_codes", code)
+        stats = (
+            assigned.select("_codes", F.posexplode("_v").alias("pos", "x"))
+            .groupBy(
+                (F.col("pos") / dsub).cast("int").alias("s"),
+                F.element_at(
+                    "_codes", ((F.col("pos") / dsub).cast("int") + 1)
+                ).alias("cell"),
+                (F.col("pos") % dsub).alias("subpos"),
+            )
+            .agg(F.round(F.avg("x"), 6).alias("c"))
         )
-        codebooks.append(
-            kmeans_fit(sub, k=ksub, iters=iters, vec_col="_sub", id_col=id_col)
-        )
+        rows = stats.collect()  # bounded: m * ksub * dsub rows
+        codebooks = [
+            [[0.0] * dsub for _ in range(ksub)] for _ in range(m)
+        ]
+        for r in rows:
+            codebooks[r["s"]][r["cell"]][r["subpos"]] = r["c"]
     return codebooks
+
+
+def pq_code_col_arrow(codebooks: list[list[list[float]]]):
+    """Arrow-vectorized twin of :func:`pq_code_col`: a pandas UDF whose
+    numpy distance sums are BIT-IDENTICAL to the Catalyst fold.
+
+    The higher-order ``aggregate``/``zip_with`` expressions in
+    :func:`pq_code_col` evaluate interpreted (CodegenFallback), so each
+    of the m·ksub per-row distance folds pays per-element lambda
+    dispatch — ~2.6 s for 2000x64 floats at sf0.1.  numpy does the same
+    arithmetic in C an order of magnitude faster.  Parity is exact, not
+    approximate: ``cumsum`` accumulates strictly left-to-right (the
+    fold's order, and ``0.0 + x0 == x0``), elementwise ``(a-b)*(a-b)``
+    is the same IEEE op, and ``argmin`` takes the FIRST minimal index —
+    the fold's ties-to-lowest-code rule.  Pinned against the Catalyst
+    backend by tests/test_pq.py."""
+    import numpy as np
+    import pandas as pd
+
+    cb = np.asarray(codebooks, dtype=np.float64)  # m x ksub x dsub
+    m, ksub, dsub = cb.shape
+
+    def _codes(v):
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        x = np.asarray(
+            [np.asarray(row, dtype=np.float64) for row in v]
+        )
+        out = np.empty((x.shape[0], m), dtype=np.int32)
+        for s in range(m):  # per-subspace loop bounds the temp to n*ksub*dsub
+            d = x[:, s * dsub : (s + 1) * dsub][:, None, :] - cb[s][None, :, :]
+            dist = np.cumsum(d * d, axis=-1)[..., -1]
+            out[:, s] = dist.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return F.pandas_udf(_codes, returnType="array<int>")
 
 
 def pq_code_col(codebooks: list[list[list[float]]], v: Column) -> Column:
@@ -129,11 +210,21 @@ def pq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     codes_col: str = "codes",
+    backend: str = "arrow",
 ) -> DataFrame:
-    """(id, codes array<int>) for every row — the compressed corpus."""
-    return df.select(
-        F.col(id_col), pq_code_col(codebooks, F.col(vec_col)).alias(codes_col)
-    )
+    """(id, codes array<int>) for every row — the compressed corpus.
+
+    ``backend='arrow'`` (default) encodes with the numpy pandas UDF;
+    ``'catalyst'`` uses the pure-expression path.  Both produce
+    bit-identical codes (tests/test_pq.py pins it); arrow is ~10x
+    faster because the Catalyst higher-order folds run interpreted."""
+    if backend == "arrow":
+        code = pq_code_col_arrow(codebooks)(F.col(vec_col))
+    elif backend == "catalyst":
+        code = pq_code_col(codebooks, F.col(vec_col))
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+    return df.select(F.col(id_col), code.alias(codes_col))
 
 
 def _py_sqdist(q: list[float], c: list[float]) -> float:
@@ -196,6 +287,7 @@ def ivfpq_topk(
     n_probe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    backend: str = "arrow",
 ) -> DataFrame:
     """IVF-PQ: coarse-quantize the corpus into IVF cells (codegen
     assignment, same pure-Catalyst argmin as kmeans), probe only the
@@ -217,7 +309,9 @@ def ivfpq_topk(
     pruned = df.withColumn("_ivf_cell", cell).filter(
         F.col("_ivf_cell").isin(probed)
     )
-    codes = pq_encode(pruned, codebooks, vec_col=vec_col, id_col=id_col)
+    codes = pq_encode(
+        pruned, codebooks, vec_col=vec_col, id_col=id_col, backend=backend
+    )
     return pq_adc_topk(codes, codebooks, query, k=k, id_col=id_col)
 
 

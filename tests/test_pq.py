@@ -188,3 +188,24 @@ def test_ivfpq_validation(spark):
     cents = [vecs[0], vecs[1]]
     with pytest.raises(ValueError, match="n_probe"):
         ivfpq_topk(df, cents, cb, vecs[0], n_probe=0)
+
+
+def test_arrow_catalyst_backend_parity(spark):
+    # the numpy encoder must be BIT-identical to the Catalyst fold:
+    # same left-to-right distance accumulation (cumsum), same
+    # ties-to-lowest-code argmin — on random vectors AND on exact-tie
+    # rows sitting equidistant between two centroids
+    vecs = _rand_vecs(60, 16, seed=11)
+    df = _vec_df(spark, vecs)
+    cb = pq_train(df, m=4, ksub=4, iters=1)
+    tie = [
+        [(a + b) / 2.0 for a, b in zip(cb[s][0], cb[s][1])]
+        for s in range(4)
+    ]
+    df2 = _vec_df(spark, vecs + [[x for sub in tie for x in sub]])
+    a = pq_encode(df2, cb, backend="arrow").orderBy("vec_id").collect()
+    c = pq_encode(df2, cb, backend="catalyst").orderBy("vec_id").collect()
+    assert [list(r["codes"]) for r in a] == [list(r["codes"]) for r in c]
+    # training under either backend yields the identical codebook
+    cb2 = pq_train(df, m=4, ksub=4, iters=1, backend="catalyst")
+    assert cb == cb2
