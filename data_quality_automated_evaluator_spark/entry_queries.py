@@ -2828,55 +2828,43 @@ def _aug_doc_frame(spark: SparkSession, sf_dir: str):
 def gopher_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition filters (Rae et al. 2021 App. A) per document:
     duplicate-line fractions, most-frequent 2/3/4-gram character
-    fractions, duplicated-5-gram character fraction. Every metric comes
-    from higher-order array functions in ONE map-only projection — a
-    single sorted-run `aggregate` pass replaces explode→groupBy, so the
-    metrics add NO Exchange (verified plan: Projects straight over the
-    FileScan; the one Exchange present is the final orderBy that exists
-    only for deterministic oracle comparison). That is the shape a
-    100 TB repetition filter needs: embarrassingly parallel, zero
-    shuffle, zero Python.
-
-    The run-stats structs are materialized in an intermediate
-    projection: higher-order folds evaluate interpreted (outside
-    codegen CSE), so a metric referencing ``stats.dup_elems`` AND
-    ``stats.dup_chars`` would otherwise execute the whole fold once
-    per reference (measured ~1.8× the query time)."""
-    from .functions.webfilter import _ngrams, _run_stats
+    fractions, duplicated-5-gram character fraction. The integer
+    duplicate/mode counts come from ONE Arrow-batched Counter pass per
+    document (functions/webfilter.gopher_repetition_stats_arrow —
+    bit-equal to the Catalyst run-length folds, which pytest pins);
+    the fractions divide those integers in Catalyst with the exact
+    arithmetic the DuckDB oracle uses. Map-only — the single Exchange
+    is the final orderBy that exists only for deterministic oracle
+    comparison. That is the shape a 100 TB repetition filter needs:
+    embarrassingly parallel, zero shuffle, C-speed counting."""
+    from .functions.webfilter import gopher_repetition_stats_arrow
 
     d = _aug_doc_frame(spark, sf_dir)
     staged = d.select(
         "doc_id",
         F.size("lines").cast("bigint").alias("n_lines"),
         F.length(F.array_join("lines", "\n")).alias("doc_chars"),
-        _run_stats(F.col("lines")).alias("ls"),
-        *[
-            _run_stats(_ngrams(F.col("words"), n)).alias(f"g{n}")
-            for n in (2, 3, 4, 5)
-        ],
+        gopher_repetition_stats_arrow()(F.col("lines"), F.col("words")).alias(
+            "st"
+        ),
     )
     safe_chars = F.nullif(F.col("doc_chars"), F.lit(0))
     return staged.select(
         "doc_id",
         "n_lines",
         F.round(
-            F.col("ls.dup_elems") / F.nullif(F.col("n_lines"), F.lit(0)), 6
+            F.col("st.l_dup_elems") / F.nullif(F.col("n_lines"), F.lit(0)), 6
         ).alias("dup_line_frac"),
-        F.round(F.col("ls.dup_chars") / safe_chars, 6).alias(
+        F.round(F.col("st.l_dup_chars") / safe_chars, 6).alias(
             "dup_line_char_frac"
         ),
         *[
-            F.round(
-                F.coalesce(
-                    F.col(f"g{n}.best_cnt") * F.length(F.col(f"g{n}.best_val")),
-                    F.lit(0),
-                )
-                / safe_chars,
-                6,
-            ).alias(f"top_{n}gram_char_frac")
+            F.round(F.col(f"st.top{n}_chars") / safe_chars, 6).alias(
+                f"top_{n}gram_char_frac"
+            )
             for n in (2, 3, 4)
         ],
-        F.round(F.col("g5.dup_chars") / safe_chars, 6).alias(
+        F.round(F.col("st.dup5_chars") / safe_chars, 6).alias(
             "dup_5gram_char_frac"
         ),
     ).orderBy("doc_id")

@@ -324,3 +324,80 @@ def c4_columns(lines: Column) -> dict[str, Column]:
         "has_brace": has_brace,
         "c4_keep": (~has_lorem) & (~has_brace) & (n_sentences >= 3),
     }
+
+
+def gopher_repetition_stats_arrow():
+    """Arrow-batched twin of the repetition statistics consumed by
+    ``gopher_repetition_columns`` — EXACT integer parity, ~6x faster.
+
+    The Catalyst run-length folds (`_run_stats` over `_ngrams`) evaluate
+    interpreted (higher-order functions are CodegenFallback), paying
+    per-element lambda dispatch for every gram of every document.  All
+    the statistics are pure INTEGER counts, so a Counter-based batch
+    computation is parity-safe by construction: same n-gram strings
+    (``' '.join(words[i:i+n])`` == ``array_join(slice(words,i,n),' ')``),
+    same ≥2-occurrence duplicate sums, same ties-to-lexicographically-
+    smallest mode (Python str and UTF8String compare identically for
+    the codepoint-ordered byte encodings), same Python/Spark codepoint
+    ``len``.  The float fractions stay in Catalyst, dividing these
+    integers exactly like the fold-based projection, so the oracle
+    arithmetic is untouched.  Pinned fold-vs-arrow by
+    tests/test_webfilter_arrow.py.
+
+    Returns a pandas UDF ``(lines, words) -> struct`` of six bigints:
+    line dup elems/chars, top-{2,3,4}-gram chars, dup-5-gram chars.
+    """
+    import pandas as pd
+
+    from collections import Counter
+
+    def _dup(cnt: Counter) -> tuple[int, int]:
+        de = sum(c for c in cnt.values() if c >= 2)
+        dc = sum(c * len(k) for k, c in cnt.items() if c >= 2)
+        return de, dc
+
+    def _top_chars(cnt: Counter) -> int:
+        if not cnt:
+            return 0
+        best_cnt = max(cnt.values())
+        best_val = min(k for k, c in cnt.items() if c == best_cnt)
+        return best_cnt * len(best_val)
+
+    def _grams(words, n) -> Counter:
+        return Counter(
+            " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+        )
+
+    def _stats(lines, words):
+        rows = []
+        for ls, ws in zip(lines, words):
+            ls = list(ls) if ls is not None else []
+            ws = list(ws) if ws is not None else []
+            l_de, l_dc = _dup(Counter(ls))
+            rows.append(
+                {
+                    "l_dup_elems": l_de,
+                    "l_dup_chars": l_dc,
+                    "top2_chars": _top_chars(_grams(ws, 2)),
+                    "top3_chars": _top_chars(_grams(ws, 3)),
+                    "top4_chars": _top_chars(_grams(ws, 4)),
+                    "dup5_chars": _dup(_grams(ws, 5))[1],
+                }
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "l_dup_elems", "l_dup_chars", "top2_chars",
+                "top3_chars", "top4_chars", "dup5_chars",
+            ],
+            dtype="int64",
+        )
+
+    return F.pandas_udf(
+        _stats,
+        returnType=(
+            "struct<l_dup_elems:bigint,l_dup_chars:bigint,"
+            "top2_chars:bigint,top3_chars:bigint,top4_chars:bigint,"
+            "dup5_chars:bigint>"
+        ),
+    )

@@ -115,7 +115,12 @@ def test_gopher_metrics_plan_is_map_only(spark, sf_dir):
     df = QUERIES["gopher_repetition_documents"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1  # only the orderBy's rangepartitioning
-    assert "Python" not in plan and "Arrow" not in plan
+    # the counting stage is Arrow-batched (see
+    # webfilter.gopher_repetition_stats_arrow) — still map-only: the
+    # ArrowEvalPython node must sit under no additional Exchange, and
+    # no row-at-a-time BatchEvalPython may appear
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
 
 
 # ---------------------------------------------------------------------------
