@@ -80,6 +80,62 @@ def _bucket_col(feat, n_buckets: int):
     return (h % n_buckets).cast("int")
 
 
+def _bucket_udf(n_buckets: int):
+    """Arrow-vectorized twin of :func:`_bucket_col` over a whole
+    feature ARRAY: returns ``array<int>`` of bucket ids per document.
+
+    The Catalyst per-character fold evaluates interpreted once per
+    exploded feature — millions of lambda dispatches per pass, and the
+    stream is evaluated twice (LM build + weight join).  The hash is
+    pure INTEGER arithmetic (``acc*31 + cp mod 1_000_003`` per step),
+    so a masked numpy Horner loop over a padded byte matrix reproduces
+    it exactly: int64 never overflows (acc < 1e6, *31 + 127 < 2^63) and
+    features are ASCII by construction ([a-z0-9 ] survives the split).
+    Tokenization stays in Catalyst so lowercase/split semantics remain
+    engine-matched.  Pinned fold-vs-arrow by tests/test_dsir_infotheory.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _buckets(feats):
+        lens: list[int] = []
+        flat: list[str] = []
+        for lst in feats:
+            if lst is None:
+                lens.append(0)
+            else:
+                lens.append(len(lst))
+                flat.extend(lst)
+        if not flat:
+            return pd.Series([[] for _ in lens])
+        enc = [s.encode("ascii") for s in flat]
+        flens = np.fromiter(
+            (len(s) for s in enc), dtype=np.int64, count=len(enc)
+        )
+        maxlen = int(flens.max())
+        buf = (
+            np.frombuffer(
+                b"".join(s.ljust(maxlen, b"\x00") for s in enc),
+                dtype=np.uint8,
+            )
+            .reshape(len(enc), maxlen)
+            .astype(np.int64)
+        )
+        acc = np.full(len(enc), _SEED, dtype=np.int64)
+        for j in range(maxlen):
+            upd = (acc * 31 + buf[:, j]) % _MOD
+            acc = np.where(j < flens, upd, acc)
+        acc = (acc % n_buckets).astype(np.int32)
+        out: list[list[int]] = []
+        i = 0
+        for n in lens:
+            out.append(acc[i : i + n].tolist())
+            i += n
+        return pd.Series(out)
+
+    return F.pandas_udf(_buckets, returnType="array<int>")
+
+
 def dsir_weights(
     df: DataFrame,
     target_pred,
@@ -93,15 +149,10 @@ def dsir_weights(
     distribution we want more of).  Returns (id_col, n_feats, logw)
     for every document with at least one feature.
     """
-    feats = (
-        df.select(
-            F.col(id_col),
-            target_pred.alias("_is_tgt"),
-            F.explode(_feats_col(text_col)).alias("_f"),
-        )
-        .select(
-            id_col, "_is_tgt", _bucket_col(F.col("_f"), n_buckets).alias("_b")
-        )
+    feats = df.select(
+        F.col(id_col),
+        target_pred.alias("_is_tgt"),
+        F.explode(_bucket_udf(n_buckets)(_feats_col(text_col))).alias("_b"),
     )
 
     lm = feats.groupBy("_b").agg(

@@ -118,3 +118,24 @@ def test_calibration_curve_bins_and_rates(spark):
         assert 0.0 <= r["keep_rate"] <= 1.0
         # mean predicted score must land inside its own bin's edges
         assert r["bin"] / 10.0 - 1e-9 <= r["mean_score"] <= (r["bin"] + 1) / 10.0 + 0.1
+
+
+def test_bucket_udf_matches_catalyst_fold(spark):
+    from data_quality_automated_evaluator_spark.operators.dsir import (
+        _bucket_col,
+        _bucket_udf,
+        _feats_col,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    fold = docs.select(
+        "doc_id", F.explode(_feats_col("text")).alias("f")
+    ).select("doc_id", _bucket_col(F.col("f"), 2048).alias("b"))
+    arrow = docs.select(
+        "doc_id", F.explode(_bucket_udf(2048)(_feats_col("text"))).alias("b")
+    )
+    f = sorted((r["doc_id"], r["b"]) for r in fold.collect())
+    a = sorted((r["doc_id"], r["b"]) for r in arrow.collect())
+    assert f == a and len(f) > 0
