@@ -4360,3 +4360,29 @@ def quality_tiers_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "source", F.col("n_chars").alias("score"), "tier"
     ).orderBy("doc_id")
+
+
+from .operators.sampling import unimax_oracle_sql as _unimax_oracle
+
+
+@register(
+    "unimax_mix_documents",
+    oracle=_unimax_oracle(
+        "documents", "lang", "n_chars", budget=250_000, max_epochs=2
+    ),
+)
+def unimax_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax epoch-capped mixture weights per language
+    (operators/sampling.unimax_mixture, Chung et al. ICLR 2023):
+    distribute a 250k-char budget as uniformly as the 2-epoch cap
+    allows (at sf0.01 that lands in the MIXED regime: four cap-limited
+    languages and a share-limited suffix — the branch the pivot algebra
+    exists for). Closed-form cap-prefix/equal-share-suffix window arithmetic
+    over the #languages-sized counts frame — one groupBy Exchange, the
+    windows touch metadata only."""
+    from .operators.sampling import unimax_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    return unimax_mixture(
+        docs, "lang", "n_chars", budget=250_000, max_epochs=2
+    )

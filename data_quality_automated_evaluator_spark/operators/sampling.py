@@ -466,3 +466,145 @@ def quality_tiers_oracle_sql(
            CAST(((rn - 1) * {int(n_tiers)}) // n AS INTEGER) AS tier
     FROM ranked ORDER BY {key}
     """
+
+
+def unimax_mixture(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    budget: int,
+    max_epochs: int = 2,
+) -> DataFrame:
+    """UniMax mixture allocation (Chung et al., "UniMax: Fairer and More
+    Effective Language Sampling for Large-Scale Multilingual
+    Pretraining", ICLR 2023): distribute a total token ``budget`` over
+    groups as uniformly as possible while capping every group at
+    ``max_epochs`` passes over its data.
+
+    The paper's greedy loop (ascending corpus size: give each group the
+    uniform share of the remaining budget, capped at ``max_epochs*n``)
+    has a closed form — caps are monotone ascending and the uniform
+    share is invariant once a group is share-limited, so the allocation
+    is a CAP-LIMITED PREFIX followed by an EQUAL-SHARE SUFFIX.  That
+    makes it pure window arithmetic, identical in Spark and DuckDB:
+
+    - per-group token counts ``n`` (one groupBy, map-side combined),
+    - sort ascending (n, group), ``i = row_number``, ``L = count``,
+    - ``cap = max_epochs*n`` (exact BIGINT, so the running sum is
+      exact),
+    - ``share_i = (budget - cumcap_{<i}) / (L - i + 1)`` (double),
+    - the first ``i`` with ``cap >= share`` starts the suffix; rows
+      before it allocate ``cap`` (= max_epochs epochs), rows from it on
+      allocate the suffix share computed AT that pivot row.
+
+    Emits (group, n_tokens, alloc_tokens, epochs, weight), 6dp.  The
+    windows run over the #groups-sized counts frame — metadata, not
+    data — partitioned on a constant key so the plan stays free of
+    single-partition WindowExec warnings."""
+    counts = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.sum(F.col(tokens_col)).cast("bigint").alias("n")
+    )
+    one = F.lit(0)
+    w = Window.partitionBy(one).orderBy("n", "g")
+    wall = Window.partitionBy(one)
+    ranked = (
+        counts.withColumn("i", F.row_number().over(w))
+        .withColumn("L", F.count(F.lit(1)).over(wall))
+        .withColumn(
+            "cap", (F.col("n") * F.lit(int(max_epochs))).cast("bigint")
+        )
+        .withColumn(
+            "cumcap_prev",
+            F.coalesce(
+                F.sum("cap").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("bigint"),
+            ),
+        )
+        .withColumn(
+            "share",
+            (F.lit(float(budget)) - F.col("cumcap_prev").cast("double"))
+            / (F.col("L") - F.col("i") + 1).cast("double"),
+        )
+        .withColumn("limited", F.col("cap").cast("double") < F.col("share"))
+        .withColumn(
+            "t",
+            F.coalesce(
+                F.min(F.when(~F.col("limited"), F.col("i"))).over(wall),
+                F.max("i").over(wall) + 1,
+            ),
+        )
+        .withColumn(
+            "suffix_share",
+            F.coalesce(
+                F.max(
+                    F.when(F.col("i") == F.col("t"), F.col("share"))
+                ).over(wall),
+                F.lit(0.0),
+            ),
+        )
+    )
+    alloc = F.when(
+        F.col("i") < F.col("t"), F.col("cap").cast("double")
+    ).otherwise(F.col("suffix_share"))
+    return ranked.select(
+        F.col("g").alias(group_col),
+        F.col("n").alias("n_tokens"),
+        F.round(alloc, 6).alias("alloc_tokens"),
+        F.round(alloc / F.col("n").cast("double"), 6).alias("epochs"),
+        F.round(alloc / F.lit(float(budget)), 6).alias("weight"),
+    ).orderBy(group_col)
+
+
+def unimax_oracle_sql(
+    table: str,
+    group: str,
+    tokens: str,
+    budget: int,
+    max_epochs: int = 2,
+) -> str:
+    """DuckDB twin of :func:`unimax_mixture` — same window arithmetic,
+    same doubles, same rounding."""
+    return f"""
+    WITH counts AS (
+      SELECT {group} AS g, CAST(sum({tokens}) AS BIGINT) AS n
+      FROM {table} GROUP BY 1
+    ),
+    ranked AS (
+      SELECT g, n,
+             row_number() OVER (ORDER BY n, g) AS i,
+             count(*) OVER () AS L,
+             CAST(n * {int(max_epochs)} AS BIGINT) AS cap,
+             coalesce(sum(CAST(n * {int(max_epochs)} AS BIGINT))
+                      OVER (ORDER BY n, g
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS cumcap_prev
+      FROM counts
+    ),
+    shared AS (
+      SELECT *,
+             (CAST({float(budget)} AS DOUBLE) - CAST(cumcap_prev AS DOUBLE))
+               / CAST(L - i + 1 AS DOUBLE) AS share
+      FROM ranked
+    ),
+    pivot_ AS (
+      SELECT coalesce(min(i) FILTER (NOT (CAST(cap AS DOUBLE) < share)),
+                      max(i) + 1) AS t
+      FROM shared
+    ),
+    suffix AS (
+      SELECT coalesce(max(s.share), 0.0) AS suffix_share
+      FROM shared s JOIN pivot_ p ON s.i = p.t
+    )
+    SELECT g AS {group}, n AS n_tokens,
+           round(CASE WHEN i < t THEN CAST(cap AS DOUBLE)
+                 ELSE suffix_share END, 6) AS alloc_tokens,
+           round(CASE WHEN i < t THEN CAST(cap AS DOUBLE)
+                 ELSE suffix_share END / CAST(n AS DOUBLE), 6) AS epochs,
+           round(CASE WHEN i < t THEN CAST(cap AS DOUBLE)
+                 ELSE suffix_share END / CAST({float(budget)} AS DOUBLE), 6)
+             AS weight
+    FROM shared, pivot_, suffix
+    ORDER BY {group}
+    """
