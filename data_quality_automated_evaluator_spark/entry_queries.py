@@ -4386,3 +4386,68 @@ def unimax_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unimax_mixture(
         docs, "lang", "n_chars", budget=250_000, max_epochs=2
     )
+
+
+from .pipeline.audits import (  # noqa: E402
+    ppl_tier_oracle_sql as _ppl_tier_oracle,
+    role_consistency_oracle_sql as _role_audit_oracle,
+    toxicity_oracle_sql as _tox_oracle,
+)
+
+
+@register(
+    "ppl_tiers_transcripts",
+    oracle=_ppl_tier_oracle(FIXTURE_TRANSCRIPTS),
+)
+def ppl_tiers_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity tiering per day
+    (pipeline/audits.ppl_tier_stats, Wenzek et al. LREC 2020): the
+    curation knob over the same char-bigram LM the keep rule uses.
+    Fixed thresholds in the corpus distribution's gaps (not rank
+    terciles) keep the compare float-drift-proof; the oracle re-trains
+    the LM in SQL via the shared ppl_chain_ctes fragment. Map-only
+    Arrow scoring, day×tier-sized aggregate."""
+    from .pipeline.audits import ppl_tier_stats
+    from .testdata import write_transcripts_parquet
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    t = spark.read.parquet(FIXTURE_TRANSCRIPTS)
+    return ppl_tier_stats(t)
+
+
+@register(
+    "toxicity_stats_transcripts",
+    oracle=_tox_oracle(FIXTURE_TRANSCRIPTS),
+)
+def toxicity_stats_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day per-role toxic-turn share from the scrub lexicon
+    (pipeline/audits.toxicity_stats): the monitoring counterpart of the
+    byte-exact scrub pass — a share spike is an upstream-source
+    incident. Presence via short-circuiting rlike in the scan, one tiny
+    day×role aggregate."""
+    from .pipeline.audits import toxicity_stats
+    from .testdata import write_transcripts_parquet
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    t = spark.read.parquet(FIXTURE_TRANSCRIPTS)
+    return toxicity_stats(t)
+
+
+@register(
+    "role_consistency_transcripts",
+    oracle=_role_audit_oracle(FIXTURE_TRANSCRIPTS),
+)
+def role_consistency_transcripts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-day conversation-structure violation counts
+    (pipeline/audits.role_consistency_audit): the north-star
+    role-consistency rules (first role, alternation, tool
+    orphan/mismatch) surfaced as an operational time series. One
+    conv_id window Exchange carrying no text, days-sized output."""
+    from .pipeline.audits import role_consistency_audit
+    from .testdata import write_transcripts_parquet
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    t = spark.read.parquet(FIXTURE_TRANSCRIPTS)
+    return role_consistency_audit(t)

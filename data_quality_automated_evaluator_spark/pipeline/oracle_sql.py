@@ -129,42 +129,20 @@ LANGID_SCORE_SQL = f"""
 """
 
 
-def keep_flags_oracle_sql(
-    parquet_path: str, t: Thresholds | None = None
-) -> str:
-    """Full keep/drop oracle SQL over a transcripts parquet file.
+def ppl_chain_ctes() -> str:
+    """CTE fragment that scores per-(conv_id, turn_idx) char-bigram
+    perplexity in pure SQL — the LM trained in-query from the embedded
+    corpus, byte-class parity with the numpy scorer (module docstring).
 
-    Output schema (sorted by conv_id, turn_idx): conv_id, turn_idx,
-    keep, and the nine rule flags — matching
-    ``quality_keep_flags_transcripts`` column-for-column.
+    Requires a prior CTE ``t(conv_id, turn_idx, …, text)``; emits CTEs
+    ``txt`` … ``ppl`` where ``ppl`` is (conv_id, turn_idx, ppl). Shared
+    verbatim by the keep-flags oracle and the perplexity-tier oracle so
+    the two SQL scorers cannot drift apart.
     """
-    t = t or Thresholds()
-    assert t.allowed_langs == ("en",), "SQL oracle encodes the default langs"
     alpha_sql = _ALPHABET.replace("'", "''")
     corpus_sql = _CORPUS.replace("'", "''")
     cls = _CLS_TEMPLATE.format(oov=_OOV, alpha=alpha_sql)
-    langid = (
-        LANGID_SCORE_SQL
-        .replace("__KEYS__", "conv_id, turn_idx")
-        .replace("__SCORE_SRC__", "feat")
-    )
-    return rf"""
-WITH t AS (
-  SELECT conv_id, turn_idx, role, tool, text FROM read_parquet('{parquet_path}')
-),
-feat AS (
-  SELECT conv_id, turn_idx, role, tool,
-         length(coalesce(text,'')) AS n_chars,
-         len(regexp_extract_all(coalesce(text,''), '\S+')) AS n_tokens,
-         len(regexp_extract_all(coalesce(text,''), '[!-/:-@\[-`{{-~]')) AS n_symbols,
-         len(list_distinct(string_split_regex(trim(lower(coalesce(text,''))), '\s+'))) AS n_distinct,
-         lower(substr(coalesce(text, ''), 1, 400)) AS sl
-  FROM t
-),
-lang AS (
-{langid}
-),
-txt AS (
+    return rf"""txt AS (
   SELECT conv_id || '|' || turn_idx AS id, conv_id, turn_idx,
          replace(substr(coalesce(text, ''), 1, {PREFIX_CHARS}), chr(0), '') AS s
   FROM t
@@ -196,7 +174,42 @@ ppl AS (
   SELECT x.conv_id, x.turn_idx,
          least(coalesce(exp(-s.m), {PPL_MAX}), {PPL_MAX}) AS ppl
   FROM txt x LEFT JOIN score s ON s.id = x.id
+)"""
+
+
+def keep_flags_oracle_sql(
+    parquet_path: str, t: Thresholds | None = None
+) -> str:
+    """Full keep/drop oracle SQL over a transcripts parquet file.
+
+    Output schema (sorted by conv_id, turn_idx): conv_id, turn_idx,
+    keep, and the nine rule flags — matching
+    ``quality_keep_flags_transcripts`` column-for-column.
+    """
+    t = t or Thresholds()
+    assert t.allowed_langs == ("en",), "SQL oracle encodes the default langs"
+    langid = (
+        LANGID_SCORE_SQL
+        .replace("__KEYS__", "conv_id, turn_idx")
+        .replace("__SCORE_SRC__", "feat")
+    )
+    return rf"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role, tool, text FROM read_parquet('{parquet_path}')
 ),
+feat AS (
+  SELECT conv_id, turn_idx, role, tool,
+         length(coalesce(text,'')) AS n_chars,
+         len(regexp_extract_all(coalesce(text,''), '\S+')) AS n_tokens,
+         len(regexp_extract_all(coalesce(text,''), '[!-/:-@\[-`{{-~]')) AS n_symbols,
+         len(list_distinct(string_split_regex(trim(lower(coalesce(text,''))), '\s+'))) AS n_distinct,
+         lower(substr(coalesce(text, ''), 1, 400)) AS sl
+  FROM t
+),
+lang AS (
+{langid}
+),
+{ppl_chain_ctes()},
 conv AS (
   SELECT f.conv_id, f.turn_idx, f.role, f.tool,
          f.n_chars, f.n_tokens, f.n_symbols, f.n_distinct,
