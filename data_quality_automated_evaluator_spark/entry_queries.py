@@ -4451,3 +4451,151 @@ def role_consistency_transcripts(
     write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
     t = spark.read.parquet(FIXTURE_TRANSCRIPTS)
     return role_consistency_audit(t)
+
+
+def _trending_oracle(path: str, k: int = 5) -> str:
+    return f"""
+    WITH words AS (
+      SELECT date_trunc('day', ts) AS day,
+             unnest(string_split_regex(lower(coalesce(text, '')),
+                                       '[^a-z0-9]+')) AS word
+      FROM read_parquet('{path}')
+    ),
+    counts AS (
+      SELECT day, word, count(*) AS n FROM words
+      WHERE word <> '' GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT day, word, CAST(n AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY day
+                                ORDER BY n DESC, word) AS rank
+      FROM counts
+    )
+    SELECT day, word, n, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k} ORDER BY day, rank
+    """
+
+
+@register(
+    "trending_terms_transcripts",
+    oracle=_trending_oracle(FIXTURE_TRANSCRIPTS, k=5),
+)
+def trending_terms_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day top-5 tokens by frequency — the trending-terms view of
+    corpus drift (a new term spiking into the daily top-k is the
+    earliest topical-shift signal). Plan: explode → two-phase hash count
+    keyed (day, word) → per-day row_number with the rank filter pushed
+    as a WindowGroupLimit partial before the window Exchange, so no
+    day's full vocabulary crosses the shuffle. Deterministic
+    (n DESC, word) tie order; same tokenization as vocab_topk."""
+    from .testdata import write_transcripts_parquet
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    t = spark.read.parquet(FIXTURE_TRANSCRIPTS)
+    words = t.select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.explode(
+            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), "[^a-z0-9]+")
+        ).alias("word"),
+    ).filter("word <> ''")
+    counts = words.groupBy("day", "word").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("day").orderBy(F.col("n").desc(), F.col("word"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .orderBy("day", "rank")
+    )
+
+
+def _conv_near_dup_oracle(path: str) -> str:
+    return f"""
+    WITH t AS (
+      SELECT conv_id, turn_idx, coalesce(text, '') AS text
+      FROM read_parquet('{path}')
+    ),
+    conv AS (
+      SELECT conv_id AS cid,
+             string_agg(text, chr(10) ORDER BY turn_idx) AS s
+      FROM t GROUP BY conv_id
+    ),
+    base AS (
+      SELECT cid, s FROM conv
+      UNION ALL
+      SELECT 'm' || substr(cid, 2), s || ' extra closing words'
+      FROM conv WHERE cid < 'c00000040'
+    ),
+    grams AS (
+      -- BYTE 5-grams over the utf-8 encoding: the Spark verifier
+      -- (functions/hashing.char_shingles) slides over the utf-8 buffer,
+      -- and these texts are multilingual, so char grams would diverge
+      SELECT DISTINCT cid, substr(hex(encode(s)), 2*i - 1, 10) AS gram
+      FROM base,
+           UNNEST(range(1, greatest(octet_length(encode(s))-4, 1)+1)) AS t(i)
+    ),
+    sizes AS (SELECT cid, count(*) AS n FROM grams GROUP BY 1),
+    inter AS (
+      SELECT a.cid AS id_a, b.cid AS id_b, count(*) AS c
+      FROM grams a JOIN grams b USING (gram)
+      WHERE a.cid < b.cid GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.cid = id_a
+    JOIN sizes sb ON sb.cid = id_b
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+    ORDER BY 1, 2
+    """
+
+
+@register(
+    "conv_near_dup_transcripts",
+    oracle=_conv_near_dup_oracle(FIXTURE_TRANSCRIPTS),
+)
+def conv_near_dup_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level MinHash near-dup: whole conversations that are
+    minor edits of each other (re-rolled sessions, resubmitted chats)
+    — turn-exact dedup (conv_dedup_transcripts) misses them. Each
+    conversation flattens to one ordered text (same one-shuffle
+    array_sort(collect_list) move as render_chat), 40 planted mutated
+    copies, then the document LSH machinery verbatim (r=2, b=32 banded
+    equijoin + exact-Jaccard verification ≥0.8 — the fixture's templated
+    conversations pack a dense genuine-pair band in [0.60, 0.72], so the
+    threshold sits in the empty margin above it: planted pairs all score
+    ≥0.897); the oracle recomputes
+    exact 5-char-shingle Jaccard over every pair of the bounded input.
+    At scale the candidate join stays banded — no all-pairs path."""
+    from .operators.dedup import minhash_lsh_dedup_pairs
+    from .testdata import write_transcripts_parquet
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    t = spark.read.parquet(FIXTURE_TRANSCRIPTS)
+    conv = t.groupBy(F.col("conv_id").alias("cid")).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("turn_idx", F.coalesce("text", F.lit("")).alias("text"))
+                    )
+                ),
+                lambda s: s["text"],
+            ),
+        ).alias("s")
+    )
+    mutated = conv.filter(F.col("cid") < "c00000040").select(
+        F.concat(F.lit("m"), F.substring("cid", 2, 100)).alias("cid"),
+        F.concat(F.col("s"), F.lit(" extra closing words")).alias("s"),
+    )
+    inner = minhash_lsh_dedup_pairs(
+        conv.unionAll(mutated),
+        text_col="s",
+        id_col="cid",
+        threshold=0.8,
+        num_perm=64,
+        bands=32,
+    )
+    return _carry_cached(
+        inner.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b"),
+        inner,
+    )
