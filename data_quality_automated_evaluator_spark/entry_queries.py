@@ -4599,3 +4599,31 @@ def conv_near_dup_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("id_a", "id_b"),
         inner,
     )
+
+
+from .operators.lm import corpus_lm_oracle_sql as _corpus_lm_oracle  # noqa: E402
+
+
+@register(
+    "corpus_lm_ppl_documents",
+    oracle=_corpus_lm_oracle(
+        "SELECT doc_id, text FROM documents WHERE doc_id < 300", "doc_id"
+    ),
+)
+def corpus_lm_ppl_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM perplexity (operators/lm): train the
+    49-class char-bigram model ON the documents themselves (one
+    mapInPandas counting pass, driver sees ≤2401 cells), broadcast the
+    log-prob matrix, score every doc under it — the CCNet in-domain-LM
+    recipe, where the embedded-corpus scorer is replaced by one trained
+    on the target corpus. The oracle re-trains the same LM entirely in
+    DuckDB SQL from the same rows. Bounded to 300 docs so the SQL
+    char-explosion stays cheap; the Spark path is corpus-size-free."""
+    from .operators.lm import corpus_lm_scores
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter("doc_id < 300")
+    )
+    return corpus_lm_scores(docs).orderBy("doc_id")

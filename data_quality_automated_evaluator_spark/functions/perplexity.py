@@ -83,6 +83,14 @@ def perplexity_batch(texts: pd.Series) -> pd.Series:
     context, matching the single-node oracle exactly since it runs this
     very function).
     """
+    return score_logprob_batch(texts, _LOGP)
+
+
+def score_logprob_batch(texts: pd.Series, logp: np.ndarray) -> pd.Series:
+    """Perplexity of each string under an arbitrary V×V bigram log-prob
+    matrix — the scoring core behind :func:`perplexity_batch` (embedded
+    LM) and operators/lm.py (corpus-trained LM). One algorithm so the
+    batch-boundary-invariance guarantee can't fork."""
     s = texts.fillna("").astype(str).str.slice(0, PREFIX_CHARS)
     n = len(s)
     if n == 0:
@@ -120,7 +128,7 @@ def perplexity_batch(texts: pd.Series) -> pd.Series:
             left = sep_pos - 1
             valid[left[left >= 0]] = False  # (last char, separator)
             valid[sep_pos[sep_pos < len(valid)]] = False  # (separator, next char)
-        lp = _LOGP[codes[:-1], codes[1:]][valid]
+        lp = logp[codes[:-1], codes[1:]][valid]
         offsets = np.zeros(n, dtype=np.int64)
         np.cumsum(nbig[:-1], out=offsets[1:])
         idx = offsets[nonzero]
