@@ -4627,3 +4627,31 @@ def corpus_lm_ppl_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("doc_id < 300")
     )
     return corpus_lm_scores(docs).orderBy("doc_id")
+
+
+from .operators.lm import grouped_lm_oracle_sql as _grouped_lm_oracle  # noqa: E402
+
+
+@register(
+    "lang_lm_ppl_documents",
+    oracle=_grouped_lm_oracle(
+        "SELECT doc_id, lang, text FROM documents WHERE doc_id < 300",
+        "lang",
+        "doc_id",
+    ),
+)
+def lang_lm_ppl_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE corpus-trained LM perplexity (operators/lm
+    grouped_lm_scores — the actual CCNet recipe: one LM per language,
+    each doc scored under its own language's model). Training is still
+    ONE mapInPandas pass + one #langs×2401-key aggregate; scoring
+    dispatches to the right broadcast matrix inside a single Arrow UDF.
+    Oracle re-trains every per-language LM in SQL from the same rows."""
+    from .operators.lm import grouped_lm_scores
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .filter("doc_id < 300")
+    )
+    return grouped_lm_scores(docs, "lang").orderBy("doc_id")

@@ -182,3 +182,149 @@ SELECT x.id AS {id_col},
 FROM txt x LEFT JOIN score s ON s.id = x.id
 ORDER BY 1
 """
+
+
+def train_grouped_lms(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    prefix: int | None = PREFIX_CHARS,
+) -> dict[str, np.ndarray]:
+    """One LM per group (the CCNet recipe trains per-LANGUAGE LMs) in a
+    single counting pass: the map side emits (group, prev, cur, c) and
+    one groupBy sums — driver traffic is #groups × ≤2401 rows."""
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for g, sub in pdf.groupby(group_col, dropna=False):
+                m = _bigram_counts(sub[text_col], prefix)
+                prev, cur = np.nonzero(m)
+                frames.append(
+                    pd.DataFrame(
+                        {"g": str(g), "prev": prev.astype("int32"),
+                         "cur": cur.astype("int32"), "c": m[prev, cur]}
+                    )
+                )
+            yield (
+                pd.concat(frames, ignore_index=True)
+                if frames
+                else pd.DataFrame(
+                    {"g": pd.Series(dtype="str"),
+                     "prev": pd.Series(dtype="int32"),
+                     "cur": pd.Series(dtype="int32"),
+                     "c": pd.Series(dtype="int64")}
+                )
+            )
+
+    rows = (
+        df.select(group_col, text_col)
+        .mapInPandas(emit, schema="g string, " + _COUNT_SCHEMA)
+        .groupBy("g", "prev", "cur")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    )
+    counts: dict[str, np.ndarray] = {}
+    for r in rows:
+        counts.setdefault(r["g"], np.zeros((V, V), dtype=np.float64))[
+            r["prev"], r["cur"]
+        ] = r["c"]
+    return {
+        g: np.log((1.0 + m) / (V + m.sum(axis=1, keepdims=True)))
+        for g, m in counts.items()
+    }
+
+
+def grouped_lm_scores(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Score each row under ITS OWN group's corpus-trained LM. Groups
+    absent from training (possible only when scoring a different frame)
+    fall back to the uniform add-one prior ln(1/V)."""
+    lms = train_grouped_lms(df, group_col, text_col)
+    uniform = np.full((V, V), -np.log(float(V)))
+
+    @F.pandas_udf(T.DoubleType())
+    def score(groups: pd.Series, texts: pd.Series) -> pd.Series:
+        out = pd.Series(np.empty(len(texts)), index=texts.index, dtype="float64")
+        for g, sub in texts.groupby(groups.fillna("None").astype(str)):
+            out.loc[sub.index] = score_logprob_batch(
+                sub, lms.get(g, uniform)
+            )
+        return out
+
+    return df.select(
+        *id_cols,
+        F.col(group_col),
+        F.round(score(F.col(group_col), F.col(text_col)), 6).alias("ppl"),
+    )
+
+
+def grouped_lm_oracle_sql(
+    base_sql: str, group_col: str, id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`grouped_lm_scores`: per-group LM trained in
+    SQL (obs keyed by group), scored with a (group, prev, cur) join."""
+    from ..functions.perplexity import PPL_MAX, _ALPHABET
+
+    oov = V - 1
+    alpha_sql = _ALPHABET.replace("'", "''")
+    return f"""
+WITH base AS ({base_sql}),
+txt AS (
+  SELECT {id_col} AS id, {group_col} AS g,
+         replace(substr(coalesce(text, ''), 1, {PREFIX_CHARS}), chr(0), '') AS s
+  FROM base
+),
+tcls AS (
+  SELECT id, g, i, j,
+         CASE WHEN k > 1 THEN {oov}
+              WHEN p = 0 THEN {oov}
+              ELSE p - 1 END AS cls
+  FROM (
+    SELECT id, g, i, j, k, strpos('{alpha_sql}',
+             chr(CASE WHEN cp BETWEEN 65 AND 90 THEN cp + 32 ELSE cp END)) AS p
+    FROM (
+      SELECT id, g, i, octet_length(encode(ch)) AS k, unicode(ch) AS cp,
+             UNNEST(range(octet_length(encode(ch)))) AS j
+      FROM (
+        SELECT id, g, i, substr(s, i, 1) AS ch
+        FROM txt, UNNEST(range(1, length(s) + 1)) AS t(i)
+      )
+    )
+  )
+),
+tbig AS (
+  SELECT id, g, lag(cls) OVER (PARTITION BY id ORDER BY i, j) AS prev,
+         cls AS cur
+  FROM tcls
+),
+obs AS (
+  SELECT g, prev, cur, count(*) AS c FROM tbig
+  WHERE prev IS NOT NULL GROUP BY 1, 2, 3
+),
+rowtot AS (SELECT g, prev, sum(c) AS rc FROM obs GROUP BY 1, 2),
+grps AS (SELECT DISTINCT g FROM txt),
+lm AS (
+  SELECT grps.g, g1.i AS prev, g2.i AS cur,
+         ln((1.0 + coalesce(o.c, 0)) / ({V} + coalesce(rt.rc, 0))) AS logp
+  FROM grps
+  CROSS JOIN (SELECT UNNEST(range({V})) AS i) g1
+  CROSS JOIN (SELECT UNNEST(range({V})) AS i) g2
+  LEFT JOIN obs o ON o.g = grps.g AND o.prev = g1.i AND o.cur = g2.i
+  LEFT JOIN rowtot rt ON rt.g = grps.g AND rt.prev = g1.i
+),
+score AS (
+  SELECT b.id, avg(lm.logp) AS m
+  FROM tbig b
+  JOIN lm ON lm.g = b.g AND lm.prev = b.prev AND lm.cur = b.cur
+  WHERE b.prev IS NOT NULL GROUP BY b.id
+)
+SELECT x.id AS {id_col}, x.g AS {group_col},
+       round(least(coalesce(exp(-s.m), {PPL_MAX}), {PPL_MAX}), 6) AS ppl
+FROM txt x LEFT JOIN score s ON s.id = x.id
+ORDER BY 1
+"""

@@ -78,3 +78,39 @@ def test_self_scored_corpus_lm_prefers_in_domain_text(spark):
     out = {r["doc_id"]: r["ppl"] for r in corpus_lm_scores(df).collect()}
     in_domain = max(out[i] for i in range(8))
     assert in_domain < out[100] and in_domain < out[101]
+
+
+def test_grouped_lms_match_per_group_training(spark):
+    from data_quality_automated_evaluator_spark.operators.lm import (
+        train_grouped_lms,
+    )
+
+    rows = [
+        ("en", "the quick brown fox jumps"),
+        ("en", "over the lazy dog"),
+        ("xx", "zzzz qqqq jjjj"),
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string").repartition(2)
+    lms = train_grouped_lms(df, "lang")
+    for g in ("en", "xx"):
+        counts = _direct_counts([t for l, t in rows if l == g], 1000)
+        expected = np.log(
+            (1.0 + counts) / (V + counts.sum(axis=1, keepdims=True))
+        )
+        np.testing.assert_array_equal(lms[g], expected)
+
+
+def test_grouped_scores_use_own_group_lm(spark):
+    from data_quality_automated_evaluator_spark.operators.lm import (
+        grouped_lm_scores,
+    )
+
+    rows = [
+        (0, "en", "the cat"),
+        (1, "xx", "the cat"),
+        (2, "xx", "zzz qqq zzz qqq"),  # skews the xx LM away from en's
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r["doc_id"]: r["ppl"] for r in grouped_lm_scores(df, "lang").collect()}
+    # the same text scored under differently-trained LMs must differ
+    assert out[0] != out[1]
