@@ -4655,3 +4655,34 @@ def lang_lm_ppl_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("doc_id < 300")
     )
     return grouped_lm_scores(docs, "lang").orderBy("doc_id")
+
+
+from .operators.nblangid import nb_langid_oracle_sql as _nb_langid_oracle  # noqa: E402
+
+
+@register(
+    "nb_langid_confusion_documents",
+    oracle=_nb_langid_oracle(
+        "SELECT lang, text FROM documents WHERE doc_id < 400", "lang"
+    ),
+)
+def nb_langid_confusion_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRAINED language-ID (operators/nblangid): multinomial Naive Bayes
+    over char trigrams fit on the corpus's own labels — the supervised,
+    fastText-flavored counterpart of the heuristic langid spec, trained
+    in ONE (lang, trigram) aggregation pass with a broadcast dense
+    model and pure-Catalyst scoring (explode → semi-join vocab →
+    broadcast model join → argmax window). Output is the integer
+    confusion matrix, so the value hash is float-free; the oracle
+    re-derives the identical model and predictions in SQL."""
+    from .operators.nblangid import nb_langid_confusion
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("lang", "text")
+        .filter("doc_id < 400")
+    )
+    inner = nb_langid_confusion(docs, "lang")
+    return _carry_cached(inner, inner)
