@@ -73,15 +73,20 @@ def nb_langid_confusion(
     base = df.select(F.col(label_col).alias("lang"), text_col).cache()
     tris = _trigrams(_with_prefix(base, text_col), text_col).select("lang", "tri")
 
-    # (lang, tri) occurrence counts; vocabulary floored on GLOBAL count
+    # (lang, tri) occurrence counts; vocabulary floored on GLOBAL count.
+    # Both frames are model-sized (#langs × |vocab|) and feed several
+    # plan branches (vocab gate, lang totals, dense smoothing, scoring
+    # semi-join) — persist them or every branch re-runs the corpus-wide
+    # trigram explode.
     counts = tris.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("c"))
     vocab = (
         counts.groupBy("tri")
         .agg(F.sum("c").alias("tot"))
         .filter(F.col("tot") >= min_count)
         .select("tri")
+        .persist()
     )
-    counts = counts.join(F.broadcast(vocab), "tri")
+    counts = counts.join(F.broadcast(vocab), "tri").persist()
 
     vsize = vocab.count()
     langs = base.select("lang").distinct()
@@ -150,7 +155,7 @@ def nb_langid_confusion(
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "pred")
     )
-    out._persisted_inputs = [base]
+    out._persisted_inputs = [base, vocab, counts]
     return out
 
 
