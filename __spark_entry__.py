@@ -67,6 +67,16 @@ _SNAPSHOT_FIRST = [
     # round 5: the north rule's byte-exact-scrub requirement, upgraded from
     # pytest-golden-only to a driver value hash (RE2-coincident subset)
     "scrubbed_text_transcripts",
+    # round-5 closing additions, none driver-graded before (each locally
+    # value-green at both SFs in CORRECTNESS_full.json)
+    "ppl_tiers_transcripts",
+    "toxicity_stats_transcripts",
+    "role_consistency_transcripts",
+    "trending_terms_transcripts",
+    "conv_near_dup_transcripts",
+    "corpus_lm_ppl_documents",
+    "lang_lm_ppl_documents",
+    "nb_langid_confusion_documents",
 ]
 _SNAPSHOT_LAST = [
     "quality_pipeline_transcripts",      # rows-only: full-pipeline frame
