@@ -4686,3 +4686,98 @@ def nb_langid_confusion_documents(
     )
     inner = nb_langid_confusion(docs, "lang")
     return _carry_cached(inner, inner)
+
+
+# --------------------------------------------------------------------------
+# round-5 conversation-health audits (pipeline/convaudit) — dialogue-level
+# operational signals above the per-turn rules; all shuffles text-free
+# --------------------------------------------------------------------------
+
+from .pipeline.convaudit import (  # noqa: E402
+    conversation_outcome_oracle_sql as _outcome_oracle,
+    role_transition_oracle_sql as _transition_oracle,
+    templated_response_oracle_sql as _template_oracle,
+    tool_chain_oracle_sql as _tool_chain_oracle,
+)
+
+
+@register(
+    "role_transitions_transcripts",
+    oracle=_transition_oracle(FIXTURE_TRANSCRIPTS),
+)
+def role_transitions_transcripts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-day role-bigram transition matrix
+    (pipeline/convaudit.role_transition_stats): lag(role) over each
+    conversation feeds a (day, prev_role, role) count with day-shares.
+    A drifting transition mix is the earliest structural drift signal
+    for a serving stack. One text-free conv_id window + a tiny day
+    aggregate."""
+    from .pipeline.convaudit import role_transition_stats
+    from .testdata import write_transcripts_parquet
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    return role_transition_stats(spark.read.parquet(FIXTURE_TRANSCRIPTS))
+
+
+@register(
+    "conversation_outcomes_transcripts",
+    oracle=_outcome_oracle(FIXTURE_TRANSCRIPTS),
+)
+def conversation_outcomes_transcripts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-day conversation-ending audit
+    (pipeline/convaudit.conversation_outcome_stats): closing role per
+    conversation via max_by(role, turn_idx) — abandoned-on-user,
+    dangling-tool and assistant-close shares plus mean length. Training
+    on abandoned tails teaches a model to stop answering; this is the
+    per-day tripwire. Two tiny hash aggregates, no text shuffled."""
+    from .pipeline.convaudit import conversation_outcome_stats
+    from .testdata import write_transcripts_parquet
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    return conversation_outcome_stats(
+        spark.read.parquet(FIXTURE_TRANSCRIPTS)
+    )
+
+
+@register(
+    "templated_responses_transcripts",
+    oracle=_template_oracle(FIXTURE_TRANSCRIPTS),
+)
+def templated_responses_transcripts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Templated/canned assistant-response detector
+    (pipeline/convaudit.templated_response_stats): normalize (lower,
+    digit-collapse, whitespace-collapse), md5 a 48-char prefix map-side,
+    then two-phase (hash, conv) → hash aggregation — boilerplate
+    templates re-used across ≥3 conversations, with use counts. The
+    shuffle carries 32-hex-byte fingerprints, never text, and no
+    count(DISTINCT) Expand is planned."""
+    from .pipeline.convaudit import templated_response_stats
+    from .testdata import write_transcripts_parquet
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    return templated_response_stats(
+        spark.read.parquet(FIXTURE_TRANSCRIPTS)
+    )
+
+
+@register(
+    "tool_chains_transcripts",
+    oracle=_tool_chain_oracle(FIXTURE_TRANSCRIPTS),
+)
+def tool_chains_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-tool-call chain audit
+    (pipeline/convaudit.tool_chain_stats): gaps-and-islands
+    (turn_idx − row_number) on the ~5% tool-turn slice after a map-side
+    role filter, aggregated per day of the chain's first call —
+    runaway chains flag wedged agents that per-turn rules miss."""
+    from .pipeline.convaudit import tool_chain_stats
+    from .testdata import write_transcripts_parquet
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    return tool_chain_stats(spark.read.parquet(FIXTURE_TRANSCRIPTS))

@@ -1,0 +1,115 @@
+"""pipeline/convaudit: role transitions, outcomes, templates, tool chains.
+
+Small hand-built transcript frames with every edge case pinned against
+hand-computed expectations: the <start> bigram, abandoned/tool-tail
+closings, digit/whitespace normalization in the template key, and
+broken vs unbroken tool islands.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+from data_quality_automated_evaluator_spark.pipeline.convaudit import (
+    conversation_outcome_stats,
+    role_transition_stats,
+    templated_response_stats,
+    tool_chain_stats,
+)
+
+D1 = dt.datetime(2024, 3, 1, 10, 0, 0)
+D2 = dt.datetime(2024, 3, 2, 9, 30, 0)
+
+SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_role_transitions_start_and_shares(spark):
+    rows = [
+        ("a", 0, "user", "hi", None, D1),
+        ("a", 1, "assistant", "yo", None, D1),
+        ("b", 0, "user", "q", None, D1),
+    ]
+    out = {
+        (r["prev_role"], r["role"]): (r["n"], r["day_share"])
+        for r in role_transition_stats(_df(spark, rows)).collect()
+    }
+    # two conversation starts land on <start>→user, one user→assistant
+    assert out[("<start>", "user")] == (2, round(2 / 3, 6))
+    assert out[("user", "assistant")] == (1, round(1 / 3, 6))
+    assert len(out) == 2
+
+
+def test_conversation_outcomes_by_closing_role(spark):
+    rows = [
+        # ends on assistant (closed)
+        ("a", 0, "user", "q", None, D1),
+        ("a", 1, "assistant", "ans", None, D1),
+        # ends on user (abandoned) — and on day 2
+        ("b", 0, "user", "q", None, D2),
+        # ends on tool (dangling)
+        ("c", 0, "user", "q", None, D1),
+        ("c", 1, "tool", "r", "tool_1", D1),
+    ]
+    by_day = {
+        r["day"].day: r
+        for r in conversation_outcome_stats(_df(spark, rows)).collect()
+    }
+    d1 = by_day[1]
+    assert (d1["n_convs"], d1["n_abandoned"], d1["n_tool_tail"]) == (2, 0, 1)
+    assert d1["assistant_close_share"] == 0.5
+    assert d1["mean_turns"] == 2.0
+    d2 = by_day[2]
+    assert (d2["n_convs"], d2["n_abandoned"]) == (1, 1)
+
+
+def test_templated_responses_normalization_and_threshold(spark):
+    # same template up to case/digits/whitespace, across 3 conversations
+    rows = [
+        ("a", 1, "assistant", "Order 123 confirmed.", None, D1),
+        ("a", 3, "assistant", "order 9 confirmed.", None, D1),  # reuse in a
+        ("b", 1, "assistant", "ORDER   77\tconfirmed.", None, D1),
+        ("c", 1, "assistant", " order 0 confirmed. ", None, D1),
+        # distinct template, only 2 convs — below min_convs
+        ("a", 5, "assistant", "goodbye", None, D1),
+        ("b", 5, "assistant", "goodbye", None, D1),
+        # non-assistant turns never count
+        ("d", 0, "user", "order 1 confirmed.", None, D1),
+    ]
+    got = templated_response_stats(_df(spark, rows)).collect()
+    assert len(got) == 1
+    row = got[0]
+    expected = hashlib.md5(b"order 0 confirmed."[:48]).hexdigest()
+    assert row["template_hash"] == expected
+    assert (row["n_uses"], row["n_convs"]) == (4, 3)
+
+
+def test_tool_chains_islands(spark):
+    rows = [
+        # conv a: tool turns at 1,2,3 (chain of 3) then 5 (chain of 1)
+        ("a", 0, "user", "q", None, D1),
+        ("a", 1, "tool", "r", "t", D1),
+        ("a", 2, "tool", "r", "t", D1),
+        ("a", 3, "tool", "r", "t", D1),
+        ("a", 4, "assistant", "ans", None, D1),
+        ("a", 5, "tool", "r", "t", D1),
+        # conv b: a single 2-chain on day 2
+        ("b", 0, "tool", "r", "t", D2),
+        ("b", 1, "tool", "r", "t", D2),
+    ]
+    by_day = {
+        r["day"].day: r for r in tool_chain_stats(_df(spark, rows)).collect()
+    }
+    d1 = by_day[1]
+    assert (d1["n_chains"], d1["max_chain_len"]) == (2, 3)
+    assert d1["mean_chain_len"] == 2.0
+    assert d1["share_ge3"] == 0.5
+    d2 = by_day[2]
+    assert (d2["n_chains"], d2["max_chain_len"], d2["share_ge3"]) == (1, 2, 0.0)
