@@ -4781,3 +4781,48 @@ def tool_chains_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
     return tool_chain_stats(spark.read.parquet(FIXTURE_TRANSCRIPTS))
+
+
+from .functions.scriptmix import script_mix_oracle_sql as _script_oracle  # noqa: E402
+from .pipeline.convaudit import (  # noqa: E402
+    context_overflow_oracle_sql as _overflow_oracle,
+)
+
+
+@register(
+    "script_mix_documents",
+    oracle=_script_oracle("documents"),
+)
+def script_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script-mix audit (functions/scriptmix.script_mix_stats):
+    per-document counts over explicit BMP script ranges (Latin, Han,
+    Cyrillic, kana, digits — literal ranges shared with the RE2 oracle,
+    no \\p{} spelling seam), priority-argmax dominant script and a
+    mixed-script flag, aggregated per declared language. Mixed-script
+    spam is what language-ID alone misses. Map-only JVM regexp counts in
+    scan codegen; the groupBy ships #langs×10 numerics."""
+    from .functions.scriptmix import script_mix_stats
+
+    return script_mix_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "context_overflow_transcripts",
+    oracle=_overflow_oracle(FIXTURE_TRANSCRIPTS),
+)
+def context_overflow_transcripts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-day context-window overflow audit
+    (pipeline/convaudit.context_overflow_stats): BPE-ish token counts in
+    scan codegen, cumulative sum per conversation, first turn past the
+    512-token budget — the tripwire for conversations an SFT packer
+    would silently truncate. The conv window shuffles (conv_id,
+    turn_idx, n_tok, ts), never text."""
+    from .pipeline.convaudit import context_overflow_stats
+    from .testdata import write_transcripts_parquet
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    return context_overflow_stats(
+        spark.read.parquet(FIXTURE_TRANSCRIPTS)
+    )

@@ -301,3 +301,106 @@ def tool_chain_oracle_sql(path: str) -> str:
              AS share_ge3
     FROM chains GROUP BY 1 ORDER BY 1
     """
+
+
+def context_overflow_stats(
+    df: DataFrame, token_budget: int = 512
+) -> DataFrame:
+    """Per-day context-window overflow audit.
+
+    Estimates tokens per turn with the shared BPE-ish JVM regex
+    (functions/textstats.bpe_token_count — oracle-parity-proven), runs a
+    cumulative sum over each conversation, and reports per day of the
+    conversation's first turn: how many conversations exceed
+    ``token_budget`` total tokens, at which turn the budget first
+    overflows, and the mean conversation token mass. Feeding an SFT
+    packer conversations that overflow its context silently truncates
+    tails — this is the per-day tripwire for that.
+
+    Scale shape: token counts are computed in scan codegen (map-side),
+    so the conv_id window Exchange carries (conv_id, turn_idx, n_tok,
+    ts) — never text; the day aggregate is conversation-sized.
+    """
+    from ..functions.textstats import bpe_token_count
+
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    turns = df.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        bpe_token_count(F.coalesce(F.col("text"), F.lit(""))).alias(
+            "n_tok"
+        ),
+    ).withColumn("cum_tok", F.sum("n_tok").over(w))
+    per_conv = turns.groupBy("conv_id").agg(
+        F.min("ts").alias("start_ts"),
+        F.max("cum_tok").alias("total_tok"),
+        F.min(
+            F.when(
+                F.col("cum_tok") > int(token_budget), F.col("turn_idx")
+            )
+        ).alias("overflow_turn"),
+    )
+    return (
+        per_conv.groupBy(
+            F.date_trunc("day", F.col("start_ts")).alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_convs"),
+            F.sum(
+                F.col("overflow_turn").isNotNull().cast("long")
+            ).alias("n_overflow"),
+            F.round(
+                F.avg(F.col("overflow_turn").isNotNull().cast("double")),
+                6,
+            ).alias("overflow_share"),
+            F.round(F.avg("total_tok"), 6).alias("mean_total_tok"),
+            F.round(F.avg("overflow_turn"), 6).alias(
+                "mean_overflow_turn"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+def context_overflow_oracle_sql(path: str, token_budget: int = 512) -> str:
+    """DuckDB twin of :func:`context_overflow_stats` (RE2 spelling of the
+    shared BPE token regex, identical cumulative-window semantics)."""
+    from ..functions.textstats import BPE_TOKEN_RE
+
+    pat = BPE_TOKEN_RE.replace("'", "''")
+    return f"""
+    WITH turns AS (
+      SELECT conv_id, turn_idx, ts,
+             len(regexp_extract_all(coalesce(text, ''), '{pat}'))
+               AS n_tok
+      FROM read_parquet('{path}')
+    ),
+    cum AS (
+      SELECT conv_id, turn_idx, ts,
+             sum(n_tok) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum_tok
+      FROM turns
+    ),
+    per_conv AS (
+      SELECT conv_id, min(ts) AS start_ts,
+             max(cum_tok) AS total_tok,
+             min(CASE WHEN cum_tok > {int(token_budget)}
+                      THEN turn_idx END) AS overflow_turn
+      FROM cum GROUP BY conv_id
+    )
+    SELECT date_trunc('day', start_ts) AS day,
+           count(*) AS n_convs,
+           CAST(sum(CASE WHEN overflow_turn IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow,
+           round(avg(CASE WHEN overflow_turn IS NOT NULL
+                          THEN 1.0 ELSE 0.0 END), 6) AS overflow_share,
+           round(avg(total_tok), 6) AS mean_total_tok,
+           round(avg(overflow_turn), 6) AS mean_overflow_turn
+    FROM per_conv GROUP BY 1 ORDER BY 1
+    """

@@ -113,3 +113,62 @@ def test_tool_chains_islands(spark):
     assert d1["share_ge3"] == 0.5
     d2 = by_day[2]
     assert (d2["n_chains"], d2["max_chain_len"], d2["share_ge3"]) == (1, 2, 0.0)
+
+
+def test_context_overflow_cumsum_and_budget(spark):
+    # conv a: 3 turns × ~4 tokens; budget 10 → overflows on turn 2
+    rows = [
+        ("a", 0, "user", "one two three four", None, D1),
+        ("a", 1, "assistant", "five six seven eight", None, D1),
+        ("a", 2, "user", "nine ten eleven twelve", None, D1),
+        # conv b: stays under budget
+        ("b", 0, "user", "short", None, D1),
+        # conv c: null text handled as zero tokens
+        ("c", 0, "user", None, None, D2),
+    ]
+    from data_quality_automated_evaluator_spark.pipeline.convaudit import (
+        context_overflow_stats,
+    )
+
+    by_day = {
+        r["day"].day: r
+        for r in context_overflow_stats(
+            _df(spark, rows), token_budget=10
+        ).collect()
+    }
+    d1 = by_day[1]
+    assert (d1["n_convs"], d1["n_overflow"]) == (2, 1)
+    assert d1["overflow_share"] == 0.5
+    assert d1["mean_overflow_turn"] == 2.0
+    d2 = by_day[2]
+    assert (d2["n_convs"], d2["n_overflow"], d2["mean_total_tok"]) == (
+        1,
+        0,
+        0.0,
+    )
+
+
+def test_script_mix_dominant_and_mixed(spark):
+    from data_quality_automated_evaluator_spark.functions.scriptmix import (
+        script_mix_stats,
+    )
+
+    rows = [
+        # pure latin
+        ("en", "hello world plain text"),
+        # han-dominant with a real latin admixture (>=5 chars each → mixed)
+        ("zh", "这是一个很长的测试文档内容样本 hello"),
+        # empty text → dominant 'none'
+        ("en", ""),
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    got = {
+        (r["lang"], r["dominant_script"]): r
+        for r in script_mix_stats(df).collect()
+    }
+    assert got[("en", "latin")]["n_docs"] == 1
+    assert got[("en", "latin")]["mixed_share"] == 0.0
+    assert got[("en", "none")]["n_docs"] == 1
+    zh = got[("zh", "han")]
+    assert zh["mixed_share"] == 1.0
+    assert zh["han_share"] > zh["latin_share"] > 0
