@@ -4826,3 +4826,95 @@ def context_overflow_transcripts(
     return context_overflow_stats(
         spark.read.parquet(FIXTURE_TRANSCRIPTS)
     )
+
+
+from .pipeline.convaudit import (  # noqa: E402
+    turn_integrity_oracle_sql as _integrity_oracle,
+)
+
+# planted-defect lattice for the turn-integrity audit: the fixture itself is
+# clean, so — like the encoding audit — defects are planted identically on
+# both sides so the value check proves positive counts, not vacuous zeros:
+#   g-convs: every turn_idx % 5 == 2 removed        → index gaps
+#   d-convs: every turn_idx % 7 == 3 duplicated     → duplicate indices
+#   i-convs: turns with turn_idx % 4 == 1 shifted −400 s (inter-turn gaps
+#            are 1–299 s, so each shifted turn inverts)
+_INTEGRITY_ORACLE_INPUT = """(
+  SELECT conv_id, turn_idx, ts FROM read_parquet('{path}')
+  UNION ALL
+  SELECT 'g' || conv_id, turn_idx, ts FROM read_parquet('{path}')
+  WHERE conv_id < 'c00000050' AND turn_idx % 5 <> 2
+  UNION ALL
+  SELECT 'd' || conv_id, turn_idx, ts FROM read_parquet('{path}')
+  WHERE conv_id < 'c00000030' AND turn_idx % 7 = 3
+  UNION ALL
+  SELECT 'd' || conv_id, turn_idx, ts FROM read_parquet('{path}')
+  WHERE conv_id < 'c00000030'
+  UNION ALL
+  SELECT 'i' || conv_id, turn_idx,
+         CASE WHEN turn_idx % 4 = 1
+              THEN ts - INTERVAL 400 SECOND ELSE ts END AS ts
+  FROM read_parquet('{path}') WHERE conv_id < 'c00000020'
+)"""
+
+
+@register(
+    "turn_integrity_transcripts",
+    oracle=_integrity_oracle(FIXTURE_TRANSCRIPTS).replace(
+        f"read_parquet('{FIXTURE_TRANSCRIPTS}')",
+        _INTEGRITY_ORACLE_INPUT.format(path=FIXTURE_TRANSCRIPTS),
+        1,
+    ),
+)
+def turn_integrity_transcripts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Turn-ordering integrity audit
+    (pipeline/convaudit.turn_integrity_stats): per-day counts of
+    conversations with turn_idx gaps, duplicate indices, or timestamp
+    inversions — the preconditions the north rule's "stable turn
+    ordering" parity contract rests on. Duplicates are detected by lag
+    adjacency (the window already sorts by turn_idx), so no
+    count(DISTINCT) Expand. Defects are planted on a deterministic
+    conv_id lattice identically in both engines so every output column
+    is checked against positive counts."""
+    from .pipeline.convaudit import turn_integrity_stats
+    from .testdata import write_transcripts_parquet
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    base = spark.read.parquet(FIXTURE_TRANSCRIPTS).select(
+        "conv_id", "turn_idx", "ts"
+    )
+    gaps = (
+        base.where(
+            (F.col("conv_id") < "c00000050") & (F.col("turn_idx") % 5 != 2)
+        ).select(
+            F.concat(F.lit("g"), "conv_id").alias("conv_id"),
+            "turn_idx",
+            "ts",
+        )
+    )
+    dup_extra = base.where(
+        (F.col("conv_id") < "c00000030") & (F.col("turn_idx") % 7 == 3)
+    )
+    dups = (
+        dup_extra.unionAll(base.where(F.col("conv_id") < "c00000030"))
+        .select(
+            F.concat(F.lit("d"), "conv_id").alias("conv_id"),
+            "turn_idx",
+            "ts",
+        )
+    )
+    inv = base.where(F.col("conv_id") < "c00000020").select(
+        F.concat(F.lit("i"), "conv_id").alias("conv_id"),
+        "turn_idx",
+        F.when(
+            F.col("turn_idx") % 4 == 1,
+            F.col("ts") - F.expr("INTERVAL 400 SECOND"),
+        )
+        .otherwise(F.col("ts"))
+        .alias("ts"),
+    )
+    return turn_integrity_stats(
+        base.unionAll(gaps).unionAll(dups).unionAll(inv)
+    )

@@ -404,3 +404,101 @@ def context_overflow_oracle_sql(path: str, token_budget: int = 512) -> str:
            round(avg(overflow_turn), 6) AS mean_overflow_turn
     FROM per_conv GROUP BY 1 ORDER BY 1
     """
+
+
+def turn_integrity_stats(df: DataFrame) -> DataFrame:
+    """Per-day turn-ordering integrity audit.
+
+    The north rule's per-turn parity contract assumes "stable turn
+    ordering" — this is the audit that proves the assumption on real
+    data: per conversation it detects (a) turn_idx gaps (max+1 ≠ count),
+    (b) duplicate turn_idx values, and (c) timestamp inversions against
+    turn order (ts < previous ts). Broken conversations cannot be
+    reassembled deterministically and must be quarantined before the
+    pipeline runs.
+
+    One conv_id window (lag of second-truncated ts — the exact-seconds
+    parity trick) and one conv_id aggregate share the Exchange; the
+    shuffle carries (conv_id, turn_idx, ts) only. The day rollup is
+    conversation-sized.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    turns = (
+        df.select("conv_id", "turn_idx", "ts")
+        .withColumn(
+            "inv",
+            (
+                F.date_trunc("second", F.col("ts"))
+                < F.date_trunc("second", F.lag("ts").over(w))
+            ).cast("long"),
+        )
+        # the window sorts by turn_idx, so duplicate indices are ADJACENT:
+        # a lag equality detects them without a count(DISTINCT) Expand
+        .withColumn(
+            "dup",
+            (F.col("turn_idx") == F.lag("turn_idx").over(w)).cast("long"),
+        )
+    )
+    per_conv = turns.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.coalesce(F.col("dup"), F.lit(0))).alias("n_dup_rows"),
+        F.max("turn_idx").alias("max_idx"),
+        F.min("ts").alias("start_ts"),
+        F.sum(F.coalesce(F.col("inv"), F.lit(0))).alias("n_inversions"),
+    )
+    flagged = per_conv.select(
+        F.date_trunc("day", F.col("start_ts")).alias("day"),
+        (
+            F.col("max_idx") + 1 != F.col("n_turns") - F.col("n_dup_rows")
+        ).cast("long").alias("has_gap"),
+        (F.col("n_dup_rows") > 0).cast("long").alias("has_dup_idx"),
+        (F.col("n_inversions") > 0).cast("long").alias("has_inversion"),
+        "n_inversions",
+    )
+    return (
+        flagged.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_convs"),
+            F.sum("has_gap").alias("n_gap_convs"),
+            F.sum("has_dup_idx").alias("n_dup_idx_convs"),
+            F.sum("has_inversion").alias("n_inversion_convs"),
+            F.sum("n_inversions").alias("n_inversions"),
+        )
+        .orderBy("day")
+    )
+
+
+def turn_integrity_oracle_sql(path: str) -> str:
+    """DuckDB twin of :func:`turn_integrity_stats`."""
+    return f"""
+    WITH turns AS (
+      SELECT conv_id, turn_idx, ts,
+             CASE WHEN date_trunc('second', ts) <
+                       date_trunc('second',
+                                  lag(ts) OVER w)
+                  THEN 1 ELSE 0 END AS inv,
+             CASE WHEN turn_idx = lag(turn_idx) OVER w
+                  THEN 1 ELSE 0 END AS dup
+      FROM read_parquet('{path}')
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    ),
+    per_conv AS (
+      SELECT conv_id, count(*) AS n_turns,
+             sum(coalesce(dup, 0)) AS n_dup_rows,
+             max(turn_idx) AS max_idx,
+             min(ts) AS start_ts,
+             sum(coalesce(inv, 0)) AS n_inversions
+      FROM turns GROUP BY conv_id
+    )
+    SELECT date_trunc('day', start_ts) AS day,
+           count(*) AS n_convs,
+           CAST(sum(CASE WHEN max_idx + 1 <> n_turns - n_dup_rows
+                         THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_gap_convs,
+           CAST(sum(CASE WHEN n_dup_rows > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_idx_convs,
+           CAST(sum(CASE WHEN n_inversions > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_inversion_convs,
+           CAST(sum(n_inversions) AS BIGINT) AS n_inversions
+    FROM per_conv GROUP BY 1 ORDER BY 1
+    """

@@ -172,3 +172,32 @@ def test_script_mix_dominant_and_mixed(spark):
     zh = got[("zh", "han")]
     assert zh["mixed_share"] == 1.0
     assert zh["han_share"] > zh["latin_share"] > 0
+
+
+def test_turn_integrity_gaps_dups_inversions(spark):
+    from data_quality_automated_evaluator_spark.pipeline.convaudit import (
+        turn_integrity_stats,
+    )
+
+    rows = [
+        # clean conversation
+        ("ok", 0, "user", "q", None, D1),
+        ("ok", 1, "assistant", "a", None, D1 + dt.timedelta(seconds=5)),
+        # gap: indices 0, 2
+        ("gap", 0, "user", "q", None, D1),
+        ("gap", 2, "assistant", "a", None, D1 + dt.timedelta(seconds=5)),
+        # duplicate index 1 (and the dup must not flag a gap)
+        ("dup", 0, "user", "q", None, D1),
+        ("dup", 1, "assistant", "a", None, D1 + dt.timedelta(seconds=5)),
+        ("dup", 1, "assistant", "a2", None, D1 + dt.timedelta(seconds=6)),
+        # timestamp inversion: turn 1 earlier than turn 0
+        ("inv", 0, "user", "q", None, D1),
+        ("inv", 1, "assistant", "a", None, D1 - dt.timedelta(seconds=30)),
+    ]
+    out = turn_integrity_stats(_df(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_convs"] == 4
+    assert r["n_gap_convs"] == 1
+    assert r["n_dup_idx_convs"] == 1
+    assert (r["n_inversion_convs"], r["n_inversions"]) == (1, 1)
