@@ -4918,3 +4918,94 @@ def turn_integrity_transcripts(
     return turn_integrity_stats(
         base.unionAll(gaps).unionAll(dups).unionAll(inv)
     )
+
+
+def _drop_attribution_oracle(path: str) -> str:
+    """Wrap the proven keep-flags oracle in a per-rule attribution rollup:
+    for each rule, how many turns it fails and how many it UNIQUELY
+    fails (no other rule fires) — the 'why was my data dropped' query."""
+    from .pipeline.oracle_sql import keep_flags_oracle_sql
+    from .pipeline.rules import RULE_NAMES
+
+    inner = keep_flags_oracle_sql(path)
+    nf = " + ".join(
+        f"(CASE WHEN NOT {r} THEN 1 ELSE 0 END)" for r in RULE_NAMES
+    )
+    sums = ", ".join(
+        f"sum(CASE WHEN NOT {r} THEN 1 ELSE 0 END) AS f_{r}, "
+        f"sum(CASE WHEN NOT {r} AND nf = 1 THEN 1 ELSE 0 END) AS u_{r}"
+        for r in RULE_NAMES
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT '{r}' AS rule, CAST(f_{r} AS BIGINT) AS n_fail, "
+        f"CAST(u_{r} AS BIGINT) AS n_unique_fail, "
+        f"round(f_{r} / n_turns, 6) AS fail_share FROM agg"
+        for r in RULE_NAMES
+    )
+    return f"""
+    WITH labels AS ( SELECT * FROM ( {inner} ) ),
+    nfail AS ( SELECT *, {nf} AS nf FROM labels ),
+    agg AS ( SELECT count(*) AS n_turns, {sums} FROM nfail )
+    SELECT * FROM ( {arms} ) ORDER BY rule
+    """
+
+
+@register(
+    "drop_attribution_transcripts",
+    oracle=_drop_attribution_oracle(FIXTURE_TRANSCRIPTS),
+)
+def drop_attribution_transcripts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-rule drop attribution over the flagship pipeline's labels:
+    for each of the nine quality rules, how many turns fail it and how
+    many turns fail ONLY it (the rule's unique kill count — the number
+    that tells an operator which threshold to tune). Reuses the full
+    Arrow pipeline on the Spark side and the complete SQL re-derivation
+    of every rule (langid + SQL-trained perplexity LM included) on the
+    oracle side, so the attribution inherits the keep-flags parity
+    chain. One 18-sum aggregate over the labels frame, unpivoted with
+    stack over a 1-row frame — adds no shuffle beyond the pipeline's
+    own."""
+    from .pipeline.quality import run_quality_pipeline
+    from .pipeline.rules import RULE_NAMES
+    from .testdata import write_transcripts_parquet
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    df = spark.read.parquet(FIXTURE_TRANSCRIPTS)
+    labels = run_quality_pipeline(df).select(*RULE_NAMES)
+    nf = None
+    for r in RULE_NAMES:
+        term = (~F.col(r)).cast("int")
+        nf = term if nf is None else nf + term
+    nfail = labels.withColumn("nf", nf)
+    aggs = [F.count(F.lit(1)).alias("n_turns")]
+    for r in RULE_NAMES:
+        aggs.append(F.sum((~F.col(r)).cast("long")).alias(f"f_{r}"))
+        aggs.append(
+            F.sum(((~F.col(r)) & (F.col("nf") == 1)).cast("long")).alias(
+                f"u_{r}"
+            )
+        )
+    agg = nfail.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{r}', f_{r}, u_{r}" for r in RULE_NAMES
+    )
+    return (
+        agg.select(
+            "n_turns",
+            F.expr(
+                f"stack({len(RULE_NAMES)}, {stack_args}) AS "
+                "(rule, n_fail, n_unique_fail)"
+            ),
+        )
+        .select(
+            "rule",
+            "n_fail",
+            "n_unique_fail",
+            F.round(F.col("n_fail") / F.col("n_turns"), 6).alias(
+                "fail_share"
+            ),
+        )
+        .orderBy("rule")
+    )
