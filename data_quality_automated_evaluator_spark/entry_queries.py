@@ -5009,3 +5009,103 @@ def drop_attribution_transcripts(
         )
         .orderBy("rule")
     )
+
+
+def _embedding_health_oracle() -> str:
+    """DuckDB twin of embedding_health over the planted-defect corpus:
+    identical defect lattice (vec_id % 97 -> zero vector, vec_id % 101
+    -> NaN in dim 1), identical double fold for the squared norm,
+    identical micro-BIGINT quantization and the same left-associated
+    arithmetic tree for avg_norm / collapse_ratio."""
+    s_sums = ", ".join(
+        "sum(CASE WHEN NOT bad AND n2 > 0 THEN "
+        f"CAST(round(CAST(v[{i}] AS DOUBLE) * 1000000) AS BIGINT) "
+        f"ELSE 0 END) AS s{i}"
+        for i in range(1, 65)
+    )
+    mean2 = " + ".join(
+        f"(s{i} / n_healthy / 1000000) * (s{i} / n_healthy / 1000000)"
+        for i in range(1, 65)
+    )
+    return f"""
+    WITH base AS (
+      SELECT label,
+             CASE WHEN vec_id % 97 = 0
+                  THEN list_transform(embedding, x -> CAST(0.0 AS REAL))
+                  WHEN vec_id % 101 = 0
+                  THEN list_concat([CAST('nan' AS REAL)], embedding[2:])
+                  ELSE embedding END AS v
+      FROM embeddings
+    ),
+    flagged AS (
+      SELECT label, v,
+             len(list_filter(v, x -> isnan(x))) > 0 AS bad,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (a, b) -> a + b) AS n2
+      FROM base
+    ),
+    g AS (
+      SELECT label,
+             CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(sum(CASE WHEN NOT bad AND n2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_zero,
+             CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nonfinite,
+             CAST(sum(CASE WHEN NOT bad AND n2 > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_healthy,
+             sum(CASE WHEN NOT bad AND n2 > 0
+                 THEN CAST(round(sqrt(n2) * 1000000) AS BIGINT)
+                 ELSE 0 END) AS qn_sum,
+             min(CASE WHEN NOT bad AND n2 > 0 THEN round(sqrt(n2), 6) END)
+               AS min_norm,
+             max(CASE WHEN NOT bad AND n2 > 0 THEN round(sqrt(n2), 6) END)
+               AS max_norm,
+             {s_sums}
+      FROM flagged GROUP BY label
+    )
+    SELECT label, n_vecs, n_zero, n_nonfinite,
+           CASE WHEN n_healthy > 0
+                THEN round(qn_sum / n_healthy / 1000000, 6) END AS avg_norm,
+           min_norm, max_norm,
+           CASE WHEN n_healthy > 0
+                THEN round(sqrt({mean2})
+                           / (qn_sum / n_healthy / 1000000), 6)
+           END AS collapse_ratio
+    FROM g ORDER BY label
+    """
+
+
+@register("embedding_health_embeddings", oracle=_embedding_health_oracle())
+def embedding_health_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus health audit (operators/embhealth.py): per label,
+    dead-vector counts (all-zero / NaN), norm statistics over healthy
+    vectors and the representation-collapse ratio ||mean vec|| / mean
+    norm. Defects are planted on a vec_id lattice with identical
+    literals in both engines (vec_id % 97 -> zero vector, % 101 -> NaN
+    in dim 1) so every detector counts POSITIVE hits, not vacuous
+    zeros. Map-only codegen row stage + ONE 71-expression HashAggregate
+    over 10 groups; all shuffled floats are micro-BIGINT-quantized, so
+    the result is shuffle-order-proof. Extends reference
+    preprocess.py:218-229 (per-column null ratio / min / max / mean) to
+    the array<float> column type."""
+    from .operators.embhealth import embedding_health
+
+    df = _t(spark, sf_dir, "embeddings")
+    dim = 64
+    planted = (
+        F.when(
+            F.col("vec_id") % 97 == 0,
+            F.array_repeat(F.lit(0.0).cast("float"), dim),
+        )
+        .when(
+            F.col("vec_id") % 101 == 0,
+            F.concat(
+                F.array(F.lit(float("nan")).cast("float")),
+                F.slice(F.col("embedding"), 2, dim - 1),
+            ),
+        )
+        .otherwise(F.col("embedding"))
+    )
+    base = df.select("label", planted.alias("embedding"))
+    return embedding_health(base, "embedding", "label", dim=dim)
