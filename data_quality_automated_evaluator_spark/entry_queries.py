@@ -5109,3 +5109,30 @@ def embedding_health_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = df.select("label", planted.alias("embedding"))
     return embedding_health(base, "embedding", "label", dim=dim)
+
+
+def _mad_oracle() -> str:
+    from .operators.robust import mad_outliers_oracle_sql
+
+    return mad_outliers_oracle_sql(
+        "events", "value", "ts", "event_type", spike=60.0
+    )
+
+
+@register("mad_outliers_events_daily", oracle=_mad_oracle())
+def mad_outliers_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD robust z-score outliers over each event type's daily-mean
+    series (operators/robust.py mad_outliers_by_interval) — the
+    masking-proof twin of the reference's Z-score criterion
+    (reference evaluate.py:91-97, sigma==0 guard at :92-93). A +60
+    spike is planted on every day-of-month-7 AFTER daily aggregation
+    with identical literals in both engines, so the detector is
+    value-checked on POSITIVE hits. One corpus-compacting
+    (group, day) HashAggregate; both medians are integer-rank order
+    statistics over the compacted series — no quantile-interpolation
+    engine seam."""
+    from .operators.robust import mad_outliers_by_interval
+
+    return mad_outliers_by_interval(
+        _t(spark, sf_dir, "events"), "value", "ts", "event_type", spike=60.0
+    )
