@@ -5136,3 +5136,66 @@ def mad_outliers_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outliers_by_interval(
         _t(spark, sf_dir, "events"), "value", "ts", "event_type", spike=60.0
     )
+
+
+def _cohort_oracle() -> str:
+    from .operators.eventflow import cohort_retention_oracle_sql
+
+    return cohort_retention_oracle_sql("events", "user_id", "ts")
+
+
+@register("cohort_retention_events", oracle=_cohort_oracle())
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the events table
+    (operators/eventflow.py cohort_retention) — the classic
+    activity-monitoring view over the same table the reference
+    aggregates per-interval (reference aggregate.py:23-60). Uniform
+    user-keyed aggregates compact the corpus; the cohort-size join is
+    broadcast."""
+    from .operators.eventflow import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"), "user_id", "ts")
+
+
+def _funnel_oracle() -> str:
+    from .operators.eventflow import funnel_conversion_oracle_sql
+
+    return funnel_conversion_oracle_sql("events", "user_id", "ts", "event_type")
+
+
+@register("funnel_conversion_events", oracle=_funnel_oracle())
+def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day view→click→purchase funnel with strict timestamp
+    ordering (operators/eventflow.py funnel_conversion). ONE
+    groupBy(user, day) + Catalyst array fold walks the funnel — a
+    single shuffle vs the oracle's aggregate+join per step; greedy
+    earliest-match makes both formulations provably identical, and the
+    value hash confirms it."""
+    from .operators.eventflow import funnel_conversion
+
+    return funnel_conversion(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_type"
+    )
+
+
+def _ewma_oracle() -> str:
+    from .operators.eventflow import ewma_deviation_oracle_sql
+
+    return ewma_deviation_oracle_sql(
+        "events", "value", "ts", "event_type", spike=60.0
+    )
+
+
+@register("ewma_break_events_daily", oracle=_ewma_oracle())
+def ewma_break_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA one-step-ahead forecast deviation per event type's daily
+    means (operators/eventflow.py ewma_deviation) — the sequential twin
+    of mad_outliers_events_daily: MAD catches level outliers, EWMA
+    catches breaks from the local trend. Decay 0.5 keeps every weight a
+    power of two (exact float products); a +60 spike planted on
+    day-of-month 7 in both engines value-checks positive hits."""
+    from .operators.eventflow import ewma_deviation
+
+    return ewma_deviation(
+        _t(spark, sf_dir, "events"), "value", "ts", "event_type", spike=60.0
+    )
