@@ -5199,3 +5199,33 @@ def ewma_break_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_deviation(
         _t(spark, sf_dir, "events"), "value", "ts", "event_type", spike=60.0
     )
+
+
+def _split_leak_oracle() -> str:
+    from .operators.splits import split_leakage_oracle_sql
+
+    base = (
+        "SELECT doc_id, text FROM documents "
+        "UNION ALL "
+        "SELECT doc_id + 1000000 AS doc_id, text FROM documents "
+        "WHERE doc_id % 10 = 0"
+    )
+    return split_leakage_oracle_sql(base, "doc_id", "text")
+
+
+@register("split_leakage_documents", oracle=_split_leak_oracle())
+def split_leakage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-stable train/valid/test split + cross-split exact-dup
+    leakage audit (operators/splits.py). Every 10th document is cloned
+    under a shifted id with identical literals in both engines, so the
+    leak detector is value-checked on positive hits: the clone's
+    id-hash lands it in a (usually) different split and both copies
+    must be reported leaked. Digest-keyed uniform shuffles only — no
+    text moves."""
+    from .operators.splits import split_leakage
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return split_leakage(docs.unionByName(clones), "doc_id", "text")
