@@ -5229,3 +5229,22 @@ def split_leakage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
     return split_leakage(docs.unionByName(clones), "doc_id", "text")
+
+
+def _rau_oracle() -> str:
+    from .operators.eventflow import rolling_active_users_oracle_sql
+
+    return rolling_active_users_oracle_sql("events", "user_id", "ts")
+
+
+@register("rolling_active_users_events", oracle=_rau_oracle())
+def rolling_active_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DAU / new-user DAU / trailing-7-day WAU per day
+    (operators/eventflow.py rolling_active_users). The trailing window
+    is a map-side explode over the compacted activity frame + one
+    countDistinct — W x |activity| rows shuffled instead of the
+    |activity| x |days| BroadcastNestedLoopJoin a day-range theta-join
+    would cost at 100 TB."""
+    from .operators.eventflow import rolling_active_users
+
+    return rolling_active_users(_t(spark, sf_dir, "events"), "user_id", "ts")

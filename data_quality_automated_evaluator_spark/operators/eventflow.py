@@ -31,6 +31,8 @@ __all__ = [
     "funnel_conversion_oracle_sql",
     "ewma_deviation",
     "ewma_deviation_oracle_sql",
+    "rolling_active_users",
+    "rolling_active_users_oracle_sql",
 ]
 
 
@@ -370,4 +372,101 @@ def ewma_deviation_oracle_sql(
            coalesce(abs(round(x - forecast, 6)) > {float(flag_abs)}, FALSE)
              AS is_break
     FROM fc ORDER BY {group}, day
+    """
+
+
+def rolling_active_users(
+    df: DataFrame, user_col: str, ts_col: str, window_days: int = 7
+) -> DataFrame:
+    """Per-day DAU, new-user DAU, and trailing-``window_days`` active
+    users (WAU), exact.
+
+    Scale shape: the corpus compacts to the distinct ``(user, day)``
+    activity frame first (one uniform-keyed aggregate). The trailing
+    window is then a map-side ``explode(sequence(day, day+W-1))`` over
+    the activity frame — each activity row contributes to the W days it
+    keeps the user "active" — followed by ONE countDistinct aggregate.
+    That is the 100-TB-right alternative to a day-range theta-join,
+    which Spark would execute as a BroadcastNestedLoopJoin costing
+    ``|activity| × |days|`` comparisons; the explode costs exactly
+    ``W × |activity|`` rows shuffled and stays an equijoin/aggregate
+    plan. Phantom target days past the last observed day are dropped by
+    an inner join against the observed-day frame (broadcast,
+    #days rows).
+    """
+    u = F.col(user_col).alias("u")
+    day = F.date_trunc("day", F.col(ts_col)).alias("day")
+    activity = df.select(u, day).distinct()
+    first = activity.groupBy("u").agg(F.min("day").alias("fday"))
+    dau = (
+        activity.join(first, "u")
+        .groupBy("day")
+        .agg(
+            F.countDistinct("u").alias("dau"),
+            F.countDistinct(
+                F.when(F.col("fday") == F.col("day"), F.col("u"))
+            ).alias("dau_new"),
+        )
+    )
+    days = activity.select("day").distinct()
+    expanded = activity.select(
+        "u",
+        F.explode(
+            F.expr(
+                f"sequence(day, day + interval {window_days - 1} day,"
+                " interval 1 day)"
+            )
+        ).alias("day"),
+    )
+    wau = (
+        expanded.join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("u").alias(f"wau_{window_days}"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "dau_new",
+            f"wau_{window_days}",
+            F.round(F.col("dau_new") / F.col("dau"), 6).alias("new_rate"),
+        )
+        .orderBy("day")
+    )
+
+
+def rolling_active_users_oracle_sql(
+    table: str, user: str, ts: str, window_days: int = 7
+) -> str:
+    """DuckDB twin of :func:`rolling_active_users`."""
+    w = window_days
+    return f"""
+    WITH activity AS (
+      SELECT DISTINCT {user} AS u, date_trunc('day', {ts}) AS day
+      FROM {table}
+    ),
+    first AS (SELECT u, min(day) AS fday FROM activity GROUP BY u),
+    days AS (SELECT DISTINCT day FROM activity),
+    dau AS (
+      SELECT a.day, count(DISTINCT a.u) AS dau,
+             count(DISTINCT CASE WHEN f.fday = a.day THEN a.u END)
+               AS dau_new
+      FROM activity a JOIN first f ON a.u = f.u
+      GROUP BY a.day
+    ),
+    exp AS (
+      SELECT u,
+             unnest(generate_series(day, day + INTERVAL {w - 1} DAY,
+                                    INTERVAL 1 DAY)) AS tday
+      FROM activity
+    ),
+    wau AS (
+      SELECT e.tday AS day, count(DISTINCT e.u) AS wau_{w}
+      FROM exp e JOIN days d ON e.tday = d.day
+      GROUP BY 1
+    )
+    SELECT day, dau, dau_new, wau_{w},
+           round(dau_new / CAST(dau AS DOUBLE), 6) AS new_rate
+    FROM dau JOIN wau USING (day) ORDER BY day
     """

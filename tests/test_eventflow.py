@@ -148,3 +148,32 @@ def test_plans_are_jvm_only(spark):
         .toString()
     )
     assert fplan.count("Aggregate [") == 2
+
+
+def test_rolling_active_users_exact(spark):
+    from data_quality_automated_evaluator_spark.operators.eventflow import (
+        rolling_active_users,
+    )
+
+    # u1 active d0,d2; u2 active d0; u3 joins d9 (gap > window from d2)
+    rows = [
+        (1, T0, "view", 0.0),
+        (1, T0 + dt.timedelta(hours=3), "click", 0.0),  # same day, dedup
+        (2, T0, "view", 0.0),
+        (1, T0 + dt.timedelta(days=2), "view", 0.0),
+        (3, T0 + dt.timedelta(days=9), "view", 0.0),
+    ]
+    got = {
+        r["day"].date(): (r["dau"], r["dau_new"], r["wau_7"], r["new_rate"])
+        for r in rolling_active_users(
+            _events(spark, rows), "user_id", "ts"
+        ).collect()
+    }
+    d = lambda k: (T0 + dt.timedelta(days=k)).date()  # noqa: E731
+    assert got == {
+        d(0): (2, 2, 2, 1.0),        # u1,u2 both new
+        d(2): (1, 0, 2, 0.0),        # u1 returns; window still holds u2
+        d(9): (1, 1, 1, 1.0),        # d2 activity expired (d2+6=d8 < d9)
+    }
+    # only observed days appear — no phantom rows from the expansion
+    assert set(got) == {d(0), d(2), d(9)}
