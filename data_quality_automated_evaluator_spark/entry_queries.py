@@ -5248,3 +5248,25 @@ def rolling_active_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.eventflow import rolling_active_users
 
     return rolling_active_users(_t(spark, sf_dir, "events"), "user_id", "ts")
+
+
+def _hh_oracle() -> str:
+    from .operators.heavyhitters import heavy_hitters_oracle_sql
+
+    return heavy_hitters_oracle_sql(
+        "SELECT text FROM documents", "text", k=100
+    )
+
+
+@register("heavy_hitters_documents", oracle=_hh_oracle())
+def heavy_hitters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-wide frequent terms (freq > n/100) via the
+    Misra-Gries candidate sweep + broadcast-gated exact recount
+    (operators/heavyhitters.py) — the no-full-vocab-shuffle path. The
+    DuckDB oracle brute-forces the same definition; the value hash
+    proves the two-phase distributed answer IS the exact answer."""
+    from .operators.heavyhitters import heavy_hitters_exact
+
+    return heavy_hitters_exact(
+        _t(spark, sf_dir, "documents"), "text", k=100
+    )
