@@ -5270,3 +5270,73 @@ def heavy_hitters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_exact(
         _t(spark, sf_dir, "documents"), "text", k=100
     )
+
+
+_SFT_SPANS_ORACLE = rf"""
+    WITH t AS (
+      SELECT conv_id, turn_idx, role,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) AS INT) AS n_text_tokens
+      FROM read_parquet('{FIXTURE_TRANSCRIPTS}')
+    ),
+    s AS (
+      SELECT conv_id, turn_idx, role, n_text_tokens,
+             CAST(COALESCE(SUM(CAST(n_text_tokens AS BIGINT) + 2) OVER (
+                    PARTITION BY conv_id ORDER BY turn_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS tok_start
+      FROM t
+    )
+    SELECT conv_id, turn_idx, role, n_text_tokens, tok_start,
+           tok_start + n_text_tokens + 2 AS tok_end,
+           CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS in_loss,
+           CAST(CASE WHEN role = 'assistant' THEN n_text_tokens ELSE 0 END
+                AS INT) AS loss_tokens
+    FROM s ORDER BY conv_id, turn_idx
+    """
+
+
+@register("sft_loss_spans_transcripts", oracle=_SFT_SPANS_ORACLE)
+def sft_loss_spans_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn token spans + loss mask for SFT (operators/sft.py
+    turn_loss_spans): each turn's half-open [tok_start, tok_end) in the
+    rendered conversation (2 template-overhead tokens per turn) and
+    in_loss/loss_tokens marking assistant turns — what a trainer needs
+    to pack conversations and mask non-assistant tokens. ONE window
+    Exchange on conv_id — the reassembly shuffle shape, no text moves
+    past the token count."""
+    from .operators.sft import turn_loss_spans
+    from .testdata import write_transcripts_parquet
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    t = spark.read.parquet(FIXTURE_TRANSCRIPTS)
+    return turn_loss_spans(t).orderBy("conv_id", "turn_idx")
+
+
+def _sft_pack_oracle() -> str:
+    from .operators.sft import pack_conversations_oracle_sql
+
+    return pack_conversations_oracle_sql(
+        FIXTURE_TRANSCRIPTS, capacity=512, n_buckets=16
+    )
+
+
+@register("sft_pack_convs_transcripts", oracle=_sft_pack_oracle())
+def sft_pack_convs_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic greedy conversation packing into 512-token bins
+    (operators/sft.py pack_conversations): conversations never split
+    across packs; exact greedy runs inside 16 deterministic md5-Horner
+    buckets via applyInPandas over the conversation-LEVEL frame (id +
+    token count only — 9 orders smaller than the turn table at 10^12
+    turns). The DuckDB oracle replays the same greedy recurrence with a
+    bounded recursive CTE (one conversation per bucket per step); the
+    value hash proves the bucketed distributed answer equals the
+    sequential definition."""
+    from .operators.sft import pack_conversations
+    from .testdata import write_transcripts_parquet
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    t = spark.read.parquet(FIXTURE_TRANSCRIPTS)
+    return pack_conversations(t, capacity=512, n_buckets=16).orderBy(
+        "conv_id"
+    )
