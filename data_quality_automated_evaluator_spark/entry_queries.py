@@ -5340,3 +5340,25 @@ def sft_pack_convs_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_conversations(t, capacity=512, n_buckets=16).orderBy(
         "conv_id"
     )
+
+
+def _sft_trunc_oracle() -> str:
+    from .operators.sft import truncate_to_context_oracle_sql
+
+    return truncate_to_context_oracle_sql(FIXTURE_TRANSCRIPTS, capacity=128)
+
+
+@register("sft_truncate_transcripts", oracle=_sft_trunc_oracle())
+def sft_truncate_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window cropping to the trailing whole turns under a
+    128-token budget (operators/sft.py truncate_to_context) — the
+    standard SFT policy: recent turns carry the signal, whole turns
+    only, last turn always kept, spans re-based to the truncated
+    rendering. Two window passes over ONE conv_id Exchange; the budget
+    filter drops pre-window history before any downstream stage."""
+    from .operators.sft import truncate_to_context
+    from .testdata import write_transcripts_parquet
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    t = spark.read.parquet(FIXTURE_TRANSCRIPTS)
+    return truncate_to_context(t, capacity=128).orderBy("conv_id", "turn_idx")

@@ -44,6 +44,7 @@ __all__ = [
     "turn_loss_spans",
     "pack_conversations",
     "pack_conversations_oracle_sql",
+    "truncate_to_context",
 ]
 
 _HEX = "0123456789abcdef"
@@ -228,4 +229,99 @@ def pack_conversations_oracle_sql(
     SELECT conv_id, bucket, CAST(pack_id AS INT) AS pack_id,
            pack_offset, n AS n_conv_tokens
     FROM state ORDER BY conv_id
+    """
+
+
+def truncate_to_context(
+    df: DataFrame,
+    capacity: int = 2048,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    turn_overhead: int = 2,
+) -> DataFrame:
+    """Crop each conversation to its trailing whole turns that fit a
+    ``capacity``-token context window (the standard SFT policy: recent
+    turns carry the training signal, whole turns only — a split turn
+    would orphan its template markup).  The final turn is always kept,
+    even if it alone exceeds the budget (the trainer hard-truncates
+    inside it).  Kept turns are re-based: ``tok_start``/``tok_end``
+    are offsets within the TRUNCATED rendering.
+
+    Scale shape: two window passes over the same conv_id partitioning
+    (suffix sum + kept-total), one Exchange total — rides the
+    pipeline's conversation partitioning; no text shuffles beyond the
+    rows themselves, and the filter drops pre-window history before
+    any downstream stage sees it.
+    """
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    rendered = (F.col("n_text_tokens") + F.lit(turn_overhead)).cast("long")
+    wdesc = (
+        Window.partitionBy(conv_col)
+        .orderBy(F.col(idx_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wconv = Window.partitionBy(conv_col)
+    t = (
+        df.select(
+            F.col(conv_col).alias("conv_id"),
+            F.col(idx_col).alias("turn_idx"),
+            F.col(role_col).alias("role"),
+            _ws_tokens(F.col(text_col)).alias("n_text_tokens"),
+        )
+        .withColumn("suffix_tokens", F.sum(rendered).over(wdesc))
+        .withColumn("max_idx", F.max("turn_idx").over(wconv))
+        .where(
+            (F.col("suffix_tokens") <= capacity)
+            | (F.col("turn_idx") == F.col("max_idx"))
+        )
+        .withColumn("kept_total", F.max("suffix_tokens").over(wconv))
+    )
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "n_text_tokens",
+        (F.col("kept_total") - F.col("suffix_tokens")).alias("tok_start"),
+        (
+            F.col("kept_total")
+            - F.col("suffix_tokens")
+            + F.col("n_text_tokens")
+            + F.lit(turn_overhead)
+        ).alias("tok_end"),
+    )
+
+
+def truncate_to_context_oracle_sql(
+    path: str, capacity: int = 2048, turn_overhead: int = 2
+) -> str:
+    """DuckDB twin of :func:`truncate_to_context`."""
+    return f"""
+    WITH t AS (
+      SELECT conv_id, turn_idx, role,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS INT) AS n_text_tokens
+      FROM read_parquet('{path}')
+    ),
+    s AS (
+      SELECT conv_id, turn_idx, role, n_text_tokens,
+             SUM(CAST(n_text_tokens AS BIGINT) + {turn_overhead}) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS suffix_tokens,
+             MAX(turn_idx) OVER (PARTITION BY conv_id) AS max_idx
+      FROM t
+    ),
+    kept AS (
+      SELECT *, MAX(suffix_tokens) OVER (PARTITION BY conv_id) AS kept_total
+      FROM s
+      WHERE suffix_tokens <= {capacity} OR turn_idx = max_idx
+    )
+    SELECT conv_id, turn_idx, role, n_text_tokens,
+           CAST(kept_total - suffix_tokens AS BIGINT) AS tok_start,
+           CAST(kept_total - suffix_tokens + n_text_tokens
+                + {turn_overhead} AS BIGINT) AS tok_end
+    FROM kept ORDER BY conv_id, turn_idx
     """

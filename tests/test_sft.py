@@ -142,3 +142,68 @@ def test_pack_deterministic_under_input_order(spark):
     pd.testing.assert_frame_equal(
         a.reset_index(drop=True), b.reset_index(drop=True)
     )
+
+
+def test_truncate_keeps_trailing_turns_within_budget(spark):
+    from data_quality_automated_evaluator_spark.operators.sft import (
+        truncate_to_context,
+    )
+
+    rows = [
+        ("c", 0, "user", "w " * 50),       # 52 rendered
+        ("c", 1, "assistant", "w " * 30),  # 32
+        ("c", 2, "user", "w " * 10),       # 12
+        ("c", 3, "assistant", "w " * 5),   # 7
+    ]
+    got = (
+        truncate_to_context(_mk_turns(spark, rows), capacity=60)
+        .orderBy("turn_idx")
+        .toPandas()
+    )
+    # suffix sums: t3=7, t2=19, t1=51, t0=103 -> keep t1..t3 (51 <= 60)
+    assert list(got.turn_idx) == [1, 2, 3]
+    assert list(got.tok_start) == [0, 32, 44]
+    assert list(got.tok_end) == [32, 44, 51]
+
+
+def test_truncate_always_keeps_last_turn_even_oversize(spark):
+    from data_quality_automated_evaluator_spark.operators.sft import (
+        truncate_to_context,
+    )
+
+    rows = [
+        ("c", 0, "user", "w " * 5),
+        ("c", 1, "assistant", "w " * 200),  # 202 rendered > 50
+    ]
+    got = (
+        truncate_to_context(_mk_turns(spark, rows), capacity=50)
+        .orderBy("turn_idx")
+        .toPandas()
+    )
+    assert list(got.turn_idx) == [1]
+    assert list(got.tok_start) == [0]
+    assert list(got.tok_end) == [202]
+
+
+def test_truncate_noop_when_conversation_fits(spark):
+    from data_quality_automated_evaluator_spark.operators.sft import (
+        truncate_to_context,
+        turn_loss_spans,
+    )
+
+    rows = [
+        ("c", 0, "user", "a b c"),
+        ("c", 1, "assistant", "d e"),
+    ]
+    trunc = (
+        truncate_to_context(_mk_turns(spark, rows), capacity=1000)
+        .orderBy("turn_idx")
+        .toPandas()
+    )
+    spans = (
+        turn_loss_spans(_mk_turns(spark, rows))
+        .orderBy("turn_idx")
+        .toPandas()
+    )
+    assert list(trunc.tok_start) == list(spans.tok_start)
+    assert list(trunc.tok_end) == list(spans.tok_end)
