@@ -5362,3 +5362,53 @@ def sft_truncate_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
     t = spark.read.parquet(FIXTURE_TRANSCRIPTS)
     return truncate_to_context(t, capacity=128).orderBy("conv_id", "turn_idx")
+
+
+def _sft_manifest_oracle() -> str:
+    from .operators.sft import pack_conversations_oracle_sql
+
+    inner = pack_conversations_oracle_sql(
+        FIXTURE_TRANSCRIPTS, capacity=512, n_buckets=16
+    )
+    return f"""
+    WITH packed AS ({inner})
+    SELECT bucket, pack_id,
+           CAST(count(*) AS BIGINT) AS n_convs,
+           CAST(sum(n_conv_tokens) AS BIGINT) AS n_tokens,
+           round(sum(n_conv_tokens) / 512.0, 6) AS fill_ratio,
+           array_to_string(list(pack_offset ORDER BY pack_offset), ',')
+             AS conv_boundaries
+    FROM packed GROUP BY bucket, pack_id ORDER BY bucket, pack_id
+    """
+
+
+@register("sft_pack_manifest_transcripts", oracle=_sft_manifest_oracle())
+def sft_pack_manifest_transcripts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-pack manifest over the atomic packing: conversation count,
+    token fill, fill ratio vs the 512 capacity, and the sorted
+    conversation-start offsets ("attention boundaries" — a trainer
+    resets cross-conversation attention at exactly these positions).
+    One groupBy over the conversation-level packed frame — metadata
+    scale; the turn table is never re-read."""
+    from .operators.sft import pack_conversations
+    from .testdata import write_transcripts_parquet
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    t = spark.read.parquet(FIXTURE_TRANSCRIPTS)
+    packed = pack_conversations(t, capacity=512, n_buckets=16)
+    return (
+        packed.groupBy("bucket", "pack_id")
+        .agg(
+            F.count("*").alias("n_convs"),
+            F.sum("n_conv_tokens").alias("n_tokens"),
+            F.round(F.sum("n_conv_tokens") / F.lit(512.0), 6).alias(
+                "fill_ratio"
+            ),
+            F.array_join(
+                F.sort_array(F.collect_list("pack_offset")), ","
+            ).alias("conv_boundaries"),
+        )
+        .orderBy("bucket", "pack_id")
+    )

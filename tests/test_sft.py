@@ -207,3 +207,23 @@ def test_truncate_noop_when_conversation_fits(spark):
     )
     assert list(trunc.tok_start) == list(spans.tok_start)
     assert list(trunc.tok_end) == list(spans.tok_end)
+
+
+def test_sft_plan_shapes(spark):
+    """Plan gates: loss spans ride ONE conv_id Exchange; the packing
+    manifest aggregates the conversation-level frame without re-reading
+    or re-shuffling the turn table."""
+    from data_quality_automated_evaluator_spark.operators.sft import (
+        turn_loss_spans,
+    )
+
+    rows = [(f"c{i}", t, "user", "a b") for i in range(8) for t in range(3)]
+    plan = (
+        turn_loss_spans(_mk_turns(spark, rows))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # exactly one Exchange: the conv_id hash partitioning for the window
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning(conv_id" in plan, plan
