@@ -5412,3 +5412,184 @@ def sft_pack_manifest_transcripts(
         )
         .orderBy("bucket", "pack_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 closing additions: lexical retrieval, tokenizer fertility,
+# content-drift KL, edit-distance-verified fuzzy dedup
+# ---------------------------------------------------------------------------
+
+# Deterministic BM25 query set over the corpus vocabulary; q3 carries a
+# zero-df term to pin the absent-term path (it contributes nothing in
+# both engines). (query_id, term) pairs, already tokenized.
+_BM25_QUERIES = [
+    (1, "spark"), (1, "window"), (1, "agg"),
+    (2, "customer"), (2, "order"), (2, "value"),
+    (3, "slow"), (3, "query"), (3, "scan"), (3, "nonexistenttoken"),
+]
+_BM25_QUERY_VALUES = "SELECT * FROM (VALUES " + ", ".join(
+    f"({qid}, '{t}')" for qid, t in _BM25_QUERIES
+) + ")"
+
+
+def _bm25_oracle() -> str:
+    from .operators.retrieval import bm25_oracle_sql
+
+    return bm25_oracle_sql(
+        "SELECT doc_id, text FROM documents", _BM25_QUERY_VALUES, topk=10
+    )
+
+
+@register("bm25_topk_documents", oracle=_bm25_oracle())
+def bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical retrieval (operators/retrieval.py): top-10
+    documents per query for a 3-query set, Lucene always-positive IDF.
+    The corpus-sized shuffle carries only query-term postings (broadcast
+    semi-join before the count agg); IDF and per-term contributions are
+    quantized to integer micro-nats so the BIGINT score sum is
+    shuffle-order-proof; top-k runs as a per-query WindowGroupLimit.
+    No retrieval surface exists in the reference (its model stops at
+    interval stats, reference preprocess.py:195-230) — this is the
+    RAG/decontamination-triage extension."""
+    from .operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    qt = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    out = bm25_topk(docs, qt, topk=10)
+    return out.select(
+        "query_id", "doc_id", "score_micro", "rank"
+    ).orderBy("query_id", "rank")
+
+
+@register(
+    "tokenizer_fertility_documents",
+    oracle=r"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')))
+             AS BIGINT) AS bpe_tokens,
+           CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+             AS ws_tokens,
+           CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+           round(CAST(sum(len(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')))
+             AS BIGINT)
+             / CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT), 6)
+             AS fertility,
+           round(CAST(sum(strlen(text)) AS BIGINT)
+             / CAST(sum(len(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')))
+             AS BIGINT), 6) AS bytes_per_token,
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def tokenizer_fertility_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language: BPE-ish tokens per
+    whitespace word and bytes per token — the standard multilingual
+    tokenizer-efficiency diagnostic (a high-fertility language pays more
+    context budget per word). Map-only JVM regexp_count in scan codegen
+    + one lang-sized agg; the two ratios each divide exact BIGINT sums
+    (single correctly-rounded double division — bit-identical across
+    engines)."""
+    from .functions.textstats import TOKEN_CLASS, bpe_token_count
+
+    df = _t(spark, sf_dir, "documents")
+    bpe = F.sum(bpe_token_count(F.col("text")))
+    ws = F.sum(F.regexp_count("text", F.lit(TOKEN_CLASS)))
+    nb = F.sum(F.octet_length("text"))
+    return (
+        df.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            bpe.alias("bpe_tokens"),
+            ws.alias("ws_tokens"),
+            nb.alias("n_bytes"),
+            F.round(bpe / ws, 6).alias("fertility"),
+            F.round(nb / bpe, 6).alias("bytes_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _unigram_kl_oracle() -> str:
+    from .operators.distdrift import unigram_kl_oracle_sql
+
+    return unigram_kl_oracle_sql("documents", "source", "text", 2000)
+
+
+@register("unigram_kl_documents", oracle=_unigram_kl_oracle())
+def unigram_kl_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence vs the corpus distribution over
+    the top-2000 vocabulary (operators/distdrift.unigram_kl) — the
+    content-level drift monitor: numeric drift is covered by PSI/KS,
+    this answers "whose token mix is off?" for mixing/contamination
+    triage. Bounded vocab via TakeOrderedAndProject, broadcast back;
+    per-term contributions quantized to nano-nats before the BIGINT
+    sum."""
+    from .operators.distdrift import unigram_kl
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_kl(docs, "source", "text", 2000).orderBy("slice")
+
+
+_EDITDIST_ORACLE = """
+    WITH base AS (SELECT doc_id, text FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, md5(substr(text, i, 8)) AS h
+      FROM base, UNNEST(range(1, greatest(length(text)-7, 1)+1)) AS t(i)
+    ), sigs AS (
+      SELECT doc_id, (list_sort(list(h)))[1:8] AS fp FROM grams GROUP BY doc_id
+    ), entries AS (SELECT doc_id, unnest(fp) AS h FROM sigs
+    ), cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM entries a JOIN entries b USING (h)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2 HAVING count(*) >= 4
+    )
+    SELECT c.id_a, c.id_b, c.n_shared,
+           CAST(levenshtein(da.text, db.text) AS INT) AS dist,
+           CAST(greatest(length(da.text), length(db.text)) AS INT) AS maxlen
+    FROM cand c
+    JOIN base da ON da.doc_id = c.id_a
+    JOIN base db ON db.doc_id = c.id_b
+    WHERE levenshtein(da.text, db.text) <= 200
+      AND 10 * levenshtein(da.text, db.text)
+          <= 3 * greatest(length(da.text), length(db.text))
+    ORDER BY 1, 2
+    """
+
+
+@register("editdist_near_dup_documents", oracle=_EDITDIST_ORACLE)
+def editdist_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-verified fuzzy dedup: min-k md5 fingerprint
+    candidates (operators/dedup.fingerprint_overlap_pairs — entry
+    equijoin on uniform sketch hashes, never all-pairs) verified with
+    Levenshtein at relative distance ≤ 0.3. The verify runs ONLY on the
+    bounded candidate set, with Spark's early-exit threshold form
+    (levenshtein(a, b, 200) returns -1 past 200, capping the DP at
+    O(len·200)); the integer filter 10·dist ≤ 3·maxlen avoids any float
+    threshold boundary. Both distances are classic unit-cost codepoint
+    DP — value-identical across engines."""
+    from .operators.dedup import fingerprint_overlap_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = fingerprint_overlap_pairs(docs, min_shared=4)
+    a = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("text").alias("text_a")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("text").alias("text_b")
+    )
+    dist = F.levenshtein("text_a", "text_b", 200)
+    maxlen = F.greatest(F.length("text_a"), F.length("text_b"))
+    out = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("dist", dist)
+        .withColumn("maxlen", maxlen)
+        .filter((F.col("dist") >= 0) & (10 * F.col("dist") <= 3 * F.col("maxlen")))
+        .select("id_a", "id_b", "n_shared", "dist", "maxlen")
+        .orderBy("id_a", "id_b")
+    )
+    return _carry_cached(out, cand)

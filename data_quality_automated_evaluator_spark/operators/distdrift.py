@@ -274,3 +274,129 @@ def ks_oracle_sql(table: str, value: str, ts: str, group: str) -> str:
              > {KS_COEFF} * sqrt(1.0 / max(nb) + 1.0 / max(nc)) AS drift
     FROM cdf GROUP BY g ORDER BY g
     """
+
+
+# ---------------------------------------------------------------------------
+# Content drift: per-slice unigram KL divergence vs the whole corpus
+# ---------------------------------------------------------------------------
+
+def unigram_kl(
+    docs: DataFrame,
+    slice_col: str = "source",
+    text_col: str = "text",
+    vocab_size: int = 2000,
+) -> DataFrame:
+    """KL(P_slice || P_corpus) over the word-unigram distribution,
+    restricted to the corpus-wide top-``vocab_size`` vocabulary — the
+    content-level twin of :func:`psi_drift` (which drifts numeric
+    values): "which source's token mix diverges most from the corpus?"
+    is the standard mixing/contamination triage question for a
+    training-data pipeline.
+
+    Scale shape: ONE exploded token pass feeds a ``(slice, term)``
+    map-side-combined count; the vocabulary is a bounded
+    TakeOrderedAndProject top-k (counts desc, term asc — deterministic)
+    that is BROADCAST back, so no vocabulary-wide shuffle or window
+    ever runs.  The #slices × ``vocab_size`` smoothing grid (Laplace
+    α=1 over the restricted vocabulary) is metadata-sized.  Per-term
+    contributions ``p·ln(p/q)`` are quantized to integer nano-nats
+    before the BIGINT per-slice sum — shuffle-order-proof (the
+    PSI/zipf/DSIR trick).  Output: one row per slice:
+    ``(slice, n_tokens, kl_nano)``.
+    """
+    tokens = docs.select(
+        F.col(slice_col).alias("slice"),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("term"),
+    ).filter("term <> ''")
+
+    # bounded corpus vocabulary with global counts (c_w)
+    vocab = (
+        tokens.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+        .orderBy(F.col("c_w").desc(), F.col("term").asc())
+        .limit(vocab_size)
+    )
+
+    counts = (
+        tokens.join(F.broadcast(vocab.select("term")), "term")
+        .groupBy("slice", "term")
+        .agg(F.count(F.lit(1)).alias("c_sw"))
+    )
+
+    # smoothing grid: every (slice, vocab term) cell, zero-filled
+    slices = docs.select(F.col(slice_col).alias("slice")).distinct()
+    grid = (
+        slices.crossJoin(F.broadcast(vocab))
+        .join(counts, ["slice", "term"], "left")
+        .withColumn("c_sw", F.coalesce(F.col("c_sw"), F.lit(0)))
+    )
+
+    totals = grid.groupBy("slice").agg(F.sum("c_sw").alias("n_s"))
+    corpus = vocab.agg(
+        F.sum("c_w").alias("n_corpus"), F.count(F.lit(1)).alias("v")
+    )  # 1 row
+
+    p = (F.col("c_sw") + 1.0) / (F.col("n_s") + F.col("v"))
+    q = (F.col("c_w") + 1.0) / (F.col("n_corpus") + F.col("v"))
+    return (
+        grid.join(totals, "slice")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "slice",
+            "n_s",
+            F.round(p * F.log(p / q) * 1000000000.0)
+            .cast("bigint")
+            .alias("contrib_nano"),
+        )
+        .groupBy("slice")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.sum("contrib_nano").alias("kl_nano"),
+        )
+    )
+
+
+def unigram_kl_oracle_sql(
+    table: str = "documents",
+    slice_col: str = "source",
+    text_col: str = "text",
+    vocab_size: int = 2000,
+) -> str:
+    """DuckDB twin of :func:`unigram_kl` — identical tokenization,
+    vocabulary cut, Laplace smoothing and nano-nat quantization."""
+    return f"""
+    WITH toks AS (
+      SELECT {slice_col} AS slice, t.term
+      FROM {table},
+           UNNEST(string_split_regex(lower({text_col}), '[^a-z0-9]+')) AS t(term)
+      WHERE t.term <> ''
+    ), vocab AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS c_w
+      FROM toks GROUP BY term
+      ORDER BY c_w DESC, term ASC LIMIT {vocab_size}
+    ), counts AS (
+      SELECT slice, term, CAST(count(*) AS BIGINT) AS c_sw
+      FROM toks WHERE term IN (SELECT term FROM vocab)
+      GROUP BY slice, term
+    ), grid AS (
+      SELECT s.slice, v.term, v.c_w, COALESCE(c.c_sw, 0) AS c_sw
+      FROM (SELECT DISTINCT {slice_col} AS slice FROM {table}) s
+      CROSS JOIN vocab v
+      LEFT JOIN counts c ON c.slice = s.slice AND c.term = v.term
+    ), totals AS (
+      SELECT slice, CAST(sum(c_sw) AS BIGINT) AS n_s FROM grid GROUP BY slice
+    ), corpus AS (
+      SELECT CAST(sum(c_w) AS BIGINT) AS n_corpus,
+             CAST(count(*) AS BIGINT) AS v FROM vocab
+    ), contrib AS (
+      SELECT g.slice, t.n_s,
+             CAST(round(((g.c_sw + 1.0) / (t.n_s + c.v))
+                        * ln(((g.c_sw + 1.0) / (t.n_s + c.v))
+                             / ((g.c_w + 1.0) / (c.n_corpus + c.v)))
+                        * 1000000000.0) AS BIGINT) AS contrib_nano
+      FROM grid g JOIN totals t USING (slice), corpus c
+    )
+    SELECT slice, CAST(max(n_s) AS BIGINT) AS n_tokens,
+           CAST(sum(contrib_nano) AS BIGINT) AS kl_nano
+    FROM contrib GROUP BY slice ORDER BY slice
+    """

@@ -1,0 +1,254 @@
+"""BM25 retrieval, unigram-KL content drift, tokenizer fertility and
+edit-distance fuzzy dedup — known-value checks against pure-Python
+recomputation plus the scale-plan gates (broadcast postings filter,
+bounded-vocab TakeOrdered)."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_automated_evaluator_spark.operators.retrieval import (
+    bm25_topk,
+    corpus_tokens,
+)
+from data_quality_automated_evaluator_spark.operators.distdrift import unigram_kl
+
+
+DOCS = [
+    (0, "spark window agg spark spark"),
+    (1, "window agg window"),
+    (2, "customer order value order"),
+    (3, "spark"),
+    (4, "value value value value value value"),
+    (5, "unrelated words entirely here"),
+]
+
+
+def _py_bm25(docs, queries, k1=1.2, b=0.75):
+    """Literal BM25 reference: per-term micro-nat quantization, BIGINT sum."""
+    toks = {d: re.findall(r"[a-z0-9]+", t.lower()) for d, t in docs}
+    dl = {d: len(ts) for d, ts in toks.items()}
+    n = len(docs)
+    avgdl = sum(dl.values()) / n
+    scores = {}
+    for qid, terms in queries.items():
+        for d, ts in toks.items():
+            s = 0
+            for term in sorted(set(terms)):
+                tf = ts.count(term)
+                if tf == 0:
+                    continue
+                df = sum(1 for other in toks.values() if term in other)
+                idf_micro = round(math.log((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6)
+                contrib = idf_micro * (tf * 2.2) / (
+                    tf + k1 * (0.25 + 0.75 * dl[d] / avgdl)
+                )
+                s += round(contrib)
+            if s:
+                scores[(qid, d)] = s
+    return scores
+
+
+def test_bm25_matches_python_reference(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qt = spark.createDataFrame(
+        [(1, "spark"), (1, "agg"), (2, "value")], "query_id int, term string"
+    )
+    out = bm25_topk(docs, qt, topk=10).collect()
+    expected = _py_bm25(
+        DOCS, {1: ["spark", "agg"], 2: ["value"]}
+    )
+    got = {(r.query_id, r.doc_id): r.score_micro for r in out}
+    assert got == expected
+    # rank order: score desc, doc_id asc, dense 1..k per query
+    for qid in (1, 2):
+        rows = sorted(
+            (r for r in out if r.query_id == qid), key=lambda r: r.rank
+        )
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        keys = [(-r.score_micro, r.doc_id) for r in rows]
+        assert keys == sorted(keys)
+
+
+def test_bm25_rewards_tf_and_penalizes_length(spark):
+    """doc0 (tf=3, short) must outrank doc3 (tf=1) and the long doc4
+    must score below a short doc with the same tf for its term."""
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qt = spark.createDataFrame([(1, "spark")], "query_id int, term string")
+    rows = {r.doc_id: r for r in bm25_topk(docs, qt, topk=10).collect()}
+    assert set(rows) == {0, 3}  # only docs containing 'spark'
+    assert rows[0].score_micro > rows[3].score_micro
+    assert rows[0].rank == 1
+
+
+def test_bm25_zero_df_term_is_inert(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    base = spark.createDataFrame([(1, "spark")], "query_id int, term string")
+    plus = spark.createDataFrame(
+        [(1, "spark"), (1, "zzzzabsent")], "query_id int, term string"
+    )
+    a = {(r.query_id, r.doc_id): r.score_micro
+         for r in bm25_topk(docs, base).collect()}
+    b = {(r.query_id, r.doc_id): r.score_micro
+         for r in bm25_topk(docs, plus).collect()}
+    assert a == b
+
+
+def test_bm25_postings_filter_is_broadcast(spark):
+    """The corpus-sized token stream must meet the query-term list via a
+    broadcast join — a sort-merge there would shuffle the whole corpus."""
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qt = spark.createDataFrame([(1, "spark")], "query_id int, term string")
+    plan = bm25_topk(docs, qt)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_corpus_tokens_tokenization(spark):
+    docs = spark.createDataFrame(
+        [(7, "A-b c7  d!!e")], "doc_id long, text string"
+    )
+    toks = [r.term for r in corpus_tokens(docs).collect()]
+    assert toks == ["a", "b", "c7", "d", "e"]
+
+
+def _py_kl(rows, vocab_size=2000):
+    """Literal reference of unigram_kl: Laplace α=1 over top-k vocab."""
+    from collections import Counter
+
+    toks = [
+        (s, w)
+        for s, t in rows
+        for w in re.findall(r"[a-z0-9]+", t.lower())
+    ]
+    cw = Counter(w for _, w in toks)
+    vocab = sorted(cw, key=lambda w: (-cw[w], w))[:vocab_size]
+    vset = set(vocab)
+    v = len(vocab)
+    n_corpus = sum(cw[w] for w in vocab)
+    out = {}
+    for s in {s for s, _ in rows}:
+        csw = Counter(w for src, w in toks if src == s and w in vset)
+        n_s = sum(csw.values())
+        kl = 0
+        for w in vocab:
+            p = (csw[w] + 1.0) / (n_s + v)
+            q = (cw[w] + 1.0) / (n_corpus + v)
+            kl += round(p * math.log(p / q) * 1e9)
+        out[s] = (n_s, kl)
+    return out
+
+
+def test_unigram_kl_matches_python_reference(spark):
+    rows = [
+        ("a", "x x x y"),
+        ("a", "x z"),
+        ("b", "y y y y z"),
+        ("c", "w w w w w w"),
+    ]
+    docs = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        r.slice: (r.n_tokens, r.kl_nano)
+        for r in unigram_kl(docs, "source", "text").collect()
+    }
+    assert got == _py_kl(rows)
+
+
+def test_unigram_kl_identical_slices_near_zero(spark):
+    """A slice distributed exactly like the corpus has (near-)minimal KL;
+    a disjoint-vocabulary slice has much larger KL."""
+    rows = [("a", "x y z")] * 5 + [("b", "x y z")] * 5 + [("c", "q q q q")]
+    docs = spark.createDataFrame(rows, "source string, text string")
+    kl = {r.slice: r.kl_nano for r in unigram_kl(docs, "source", "text").collect()}
+    assert kl["a"] == kl["b"]  # identical content → identical divergence
+    assert kl["c"] > 10 * max(kl["a"], 1)
+
+
+def test_unigram_kl_vocab_cap(spark):
+    """vocab_size caps the domain: with cap=1 only the single most
+    frequent term participates."""
+    rows = [("a", "x x x y"), ("b", "y x")]
+    docs = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        r.slice: (r.n_tokens, r.kl_nano)
+        for r in unigram_kl(docs, "source", "text", vocab_size=1).collect()
+    }
+    assert got == _py_kl(rows, vocab_size=1)
+    # n_tokens counts only in-vocab occurrences
+    assert got["a"][0] == 3 and got["b"][0] == 1
+
+
+def test_editdist_query_filters_relative_threshold(spark, tmp_path):
+    """End-to-end through the registered query on a planted corpus: a
+    mutated twin passes the 0.3 relative gate, an unrelated doc does not
+    surface, and dist is the true edit distance."""
+    import pandas as pd
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    rows = [
+        (0, base),
+        (1, base[:-10] + " tail edit"),          # small absolute distance
+        (2, "completely different content " * 8),
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    from data_quality_automated_evaluator_spark.entry_queries import QUERIES
+
+    out = QUERIES["editdist_near_dup_documents"](spark, str(tmp_path)).collect()
+    pairs = {(r.id_a, r.id_b): r for r in out}
+    assert (0, 1) in pairs
+    r = pairs[(0, 1)]
+
+    # classic DP reference, small inputs
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i] + [0] * len(b)
+            for j, cb in enumerate(b, 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (ca != cb))
+            prev = cur
+        return prev[-1]
+
+    assert r.dist == lev(rows[0][1], rows[1][1])
+    assert 10 * r.dist <= 3 * r.maxlen
+    assert all(2 not in (ia, ib) for ia, ib in pairs)
+
+
+def test_fertility_ratios(spark, tmp_path):
+    """Registered fertility query: exact integer sums and ratio checks on
+    a two-language planted corpus."""
+    import pandas as pd
+
+    rows = [
+        (0, "hello world", "en", "s", 11),
+        (1, "it's a test", "en", "s", 11),
+        (2, "ab cd ef", "xx", "s", 8),
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    from data_quality_automated_evaluator_spark.entry_queries import QUERIES
+
+    out = {
+        r.lang: r
+        for r in QUERIES["tokenizer_fertility_documents"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # en: "hello world" → [hello][ world] + ws runs: GPT-2 regex counts
+    # 'hello', ' world' = 2 bpe (space-prefixed) and 1 inner \s+ run? —
+    # pin by recomputation with the regex module-free count:
+    xx = out["xx"]
+    assert xx.ws_tokens == 3 and xx.n_bytes == 8
+    assert xx.fertility == pytest.approx(xx.bpe_tokens / xx.ws_tokens)
+    en = out["en"]
+    # "hello world" → 2 ws tokens; "it's a test" → 3 ws tokens
+    assert en.n_docs == 2 and en.ws_tokens == 5
+    # GPT-2 regex: hello|) world / it|'s|) a|) test → 6 bpe tokens
+    assert en.bpe_tokens == 6
+    assert en.bytes_per_token == pytest.approx(en.n_bytes / en.bpe_tokens)
