@@ -5593,3 +5593,138 @@ def editdist_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("id_a", "id_b")
     )
     return _carry_cached(out, cand)
+
+
+def _rrf_oracle() -> str:
+    from .operators.retrieval import rrf_oracle_sql
+
+    return rrf_oracle_sql(
+        "SELECT doc_id, text FROM documents",
+        _BM25_QUERY_VALUES,
+        per_ranker_topk=20,
+        topk=10,
+    )
+
+
+@register("rrf_hybrid_topk_documents", oracle=_rrf_oracle())
+def rrf_hybrid_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal rank fusion (Cormack et al. 2009) of
+    two rankers with deliberately different biases — BM25 (tf·idf,
+    length-normalized) and query-term coverage (set containment, short
+    docs first) — each truncated to top-20 per query, fused by
+    nano-quantized 1/(60+rank) contributions summed as exact BIGINTs.
+    The fusion stage aggregates only the bounded top-k frames; the
+    corpus is scanned by the two rankers' shared shapes (broadcast
+    postings filter, partial WindowGroupLimit)."""
+    from .operators.retrieval import bm25_topk, coverage_topk, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    qt = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    bm25 = bm25_topk(docs, qt, topk=20)
+    cov = coverage_topk(docs, qt, topk=20)
+    out = rrf_fuse([bm25, cov], topk=10)
+    return out.select(
+        "query_id", "doc_id", "rrf_nano", "n_rankers", "rank"
+    ).orderBy("query_id", "rank")
+
+
+def _parrot_oracle(path: str) -> str:
+    return f"""
+    WITH base AS (
+      SELECT conv_id, turn_idx, role, ts,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM read_parquet('{path}')
+    ), g AS (
+      SELECT conv_id, turn_idx, role, ts,
+             CASE WHEN len(toks) >= 3 THEN
+               list_distinct([substr(md5(array_to_string(toks[i:i+2], ' ')),
+                                     1, 16)
+                              FOR i IN range(1, len(toks) - 1)])
+             ELSE [] END AS grams
+      FROM base
+    ), l AS (
+      SELECT *, lag(role) OVER w AS prev_role, lag(grams) OVER w AS prev_grams
+      FROM g WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    ), c AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CASE WHEN 10 * len(list_intersect(grams, prev_grams))
+                       >= 2 * len(grams) THEN 1 ELSE 0 END AS parrot
+      FROM l
+      WHERE role = 'assistant' AND prev_role = 'user'
+            AND len(grams) > 0 AND len(prev_grams) > 0
+    )
+    SELECT day, CAST(count(*) AS BIGINT) AS n_considered,
+           CAST(sum(parrot) AS BIGINT) AS n_parrot,
+           round(CAST(sum(parrot) AS BIGINT)
+                 / CAST(count(*) AS BIGINT), 6) AS parrot_rate
+    FROM c GROUP BY day ORDER BY day
+    """
+
+
+@register("parrot_rate_transcripts", oracle=None)  # bound below
+def parrot_rate_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assistant-parroting audit: per-day share of assistant turns whose
+    word-3-gram set is ≥20% contained in the immediately-preceding user
+    turn — the "model echoes the user" SFT-quality signal (echo-heavy
+    conversations teach copying, not answering). The conv_id window
+    shuffles 16-hex-char gram digests, never text (the digest-only
+    shuffle rule every conversation op here follows); containment is an
+    exact integer compare (10·|A∩P| ≥ 2·|A| — no float threshold). The
+    descending-sequence(1,0) trap on <3-token turns is gated exactly as
+    in operators/nblangid.py."""
+    from .testdata import write_transcripts_parquet
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    t = spark.read.parquet(FIXTURE_TRANSCRIPTS)
+    g = t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "ts",
+        F.expr(
+            "CASE WHEN size(filter(split(lower(text), '[^a-z0-9]+'),"
+            " x -> x <> '')) >= 3 THEN"
+            " array_distinct(transform("
+            "   sequence(1, size(filter(split(lower(text), '[^a-z0-9]+'),"
+            "                    x -> x <> '')) - 2),"
+            "   i -> substr(md5(concat_ws(' ',"
+            "     slice(filter(split(lower(text), '[^a-z0-9]+'),"
+            "           x -> x <> ''), i, 3))), 1, 16)))"
+            " ELSE CAST(array() AS array<string>) END"
+        ).alias("grams"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    l = g.select(
+        "*",
+        F.lag("role").over(w).alias("prev_role"),
+        F.lag("grams").over(w).alias("prev_grams"),
+    )
+    c = l.filter(
+        (F.col("role") == "assistant")
+        & (F.col("prev_role") == "user")
+        & (F.size("grams") > 0)
+        & (F.size("prev_grams") > 0)
+    ).select(
+        F.to_date("ts").cast("string").alias("day"),
+        (
+            10 * F.size(F.array_intersect("grams", "prev_grams"))
+            >= 2 * F.size("grams")
+        )
+        .cast("long")
+        .alias("parrot"),
+    )
+    return (
+        c.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_considered"),
+            F.sum("parrot").alias("n_parrot"),
+            F.round(F.sum("parrot") / F.count(F.lit(1)), 6).alias(
+                "parrot_rate"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLES["parrot_rate_transcripts"] = _parrot_oracle(FIXTURE_TRANSCRIPTS)

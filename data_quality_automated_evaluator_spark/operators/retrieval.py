@@ -213,3 +213,139 @@ def bm25_oracle_sql(
     WHERE rank <= {topk}
     ORDER BY query_id, rank
     """
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal rank fusion of two rankers
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+
+
+def coverage_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    topk: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Second lexical ranker for fusion: query-term coverage (how many
+    distinct query terms the document contains), ties broken by shorter
+    document then doc_id — a deliberately different bias from BM25
+    (coverage ignores tf and idf entirely). Same bounded shapes as
+    :func:`bm25_topk`: broadcast postings filter, per-query
+    WindowGroupLimit."""
+    qt = query_terms.select("query_id", "term").distinct()
+    tokens = corpus_tokens(docs, text_col, id_col)
+    dl = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    hits = (
+        tokens.distinct()
+        .join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_cov"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_cov").desc(), F.col("dl").asc(), F.col("doc_id").asc()
+    )
+    return (
+        hits.join(dl, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "doc_id", "n_cov", "dl", "rank")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame], topk: int = 10, k: int = RRF_K
+) -> DataFrame:
+    """Reciprocal rank fusion (Cormack et al., SIGIR 2009): each ranker
+    contributes ``1/(k + rank)`` for every (query, doc) it returned;
+    documents are re-ranked by the summed contribution. Contributions
+    are quantized to integer nano-units (``round(1e9/(k+rank))`` — one
+    correctly-rounded division, bit-identical across engines) so the
+    per-document sum is an exact BIGINT. Inputs are top-k frames
+    ``(query_id, doc_id, rank)`` — already bounded, so the fusion
+    aggregates metadata-sized frames."""
+    parts = [
+        r.select(
+            "query_id",
+            "doc_id",
+            F.round(1000000000.0 / (F.col("rank") + F.lit(k)))
+            .cast("bigint")
+            .alias("rrf_nano"),
+        )
+        for r in rankings
+    ]
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionAll(p)
+    fused = allc.groupBy("query_id", "doc_id").agg(
+        F.sum("rrf_nano").alias("rrf_nano"),
+        F.count(F.lit(1)).alias("n_rankers"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_nano").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+    )
+
+
+def rrf_oracle_sql(
+    base_sql: str,
+    query_values_sql: str,
+    per_ranker_topk: int = 20,
+    topk: int = 10,
+    k: int = RRF_K,
+) -> str:
+    """DuckDB twin of BM25 + coverage fused with :func:`rrf_fuse`."""
+    bm25 = bm25_oracle_sql(base_sql, query_values_sql, per_ranker_topk)
+    return f"""
+    WITH bm25_ranked AS ({bm25}
+    ), qt AS (
+      SELECT DISTINCT query_id, term FROM ({query_values_sql}) q(query_id, term)
+    ), base2 AS ({base_sql}
+    ), toks2 AS (
+      SELECT doc_id, term FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+        FROM base2
+      ) WHERE term <> ''
+    ), dl2 AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks2 GROUP BY doc_id
+    ), cov AS (
+      SELECT qt.query_id, t.doc_id, CAST(count(*) AS BIGINT) AS n_cov
+      FROM (SELECT DISTINCT doc_id, term FROM toks2) t
+      JOIN qt USING (term)
+      GROUP BY qt.query_id, t.doc_id
+    ), cov_ranked AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY n_cov DESC, dl ASC, doc_id ASC)
+                 AS rank
+        FROM cov JOIN dl2 USING (doc_id)
+      ) WHERE rank <= {per_ranker_topk}
+    ), contribs AS (
+      SELECT query_id, doc_id,
+             CAST(round(1000000000.0 / (rank + {k})) AS BIGINT) AS rrf_nano
+      FROM bm25_ranked
+      UNION ALL
+      SELECT query_id, doc_id,
+             CAST(round(1000000000.0 / (rank + {k})) AS BIGINT) AS rrf_nano
+      FROM cov_ranked
+    ), fused AS (
+      SELECT query_id, doc_id, CAST(sum(rrf_nano) AS BIGINT) AS rrf_nano,
+             CAST(count(*) AS BIGINT) AS n_rankers
+      FROM contribs GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, rrf_nano, n_rankers, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT query_id, doc_id, rrf_nano, n_rankers,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf_nano DESC, doc_id ASC) AS rank
+      FROM fused
+    )
+    WHERE rank <= {topk}
+    ORDER BY query_id, rank
+    """

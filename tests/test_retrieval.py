@@ -252,3 +252,111 @@ def test_fertility_ratios(spark, tmp_path):
     # GPT-2 regex: hello|) world / it|'s|) a|) test → 6 bpe tokens
     assert en.bpe_tokens == 6
     assert en.bytes_per_token == pytest.approx(en.n_bytes / en.bpe_tokens)
+
+
+def _py_rrf(rankings, topk=10, k=60):
+    from collections import defaultdict
+
+    acc = defaultdict(int)
+    n = defaultdict(int)
+    for ranking in rankings:
+        for (qid, d), rank in ranking.items():
+            acc[(qid, d)] += round(1e9 / (rank + k))
+            n[(qid, d)] += 1
+    out = {}
+    for qid in {q for q, _ in acc}:
+        rows = sorted(
+            ((d, s) for (q, d), s in acc.items() if q == qid),
+            key=lambda x: (-x[1], x[0]),
+        )[:topk]
+        for rank, (d, s) in enumerate(rows, 1):
+            out[(qid, d)] = (s, n[(qid, d)], rank)
+    return out
+
+
+def test_rrf_fusion_matches_python_reference(spark):
+    from data_quality_automated_evaluator_spark.operators.retrieval import (
+        coverage_topk,
+        rrf_fuse,
+    )
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qt = spark.createDataFrame(
+        [(1, "spark"), (1, "agg"), (2, "value"), (2, "order")],
+        "query_id int, term string",
+    )
+    bm25 = bm25_topk(docs, qt, topk=5)
+    cov = coverage_topk(docs, qt, topk=5)
+    fused = rrf_fuse([bm25, cov], topk=10).collect()
+
+    r_bm25 = {(r.query_id, r.doc_id): r.rank for r in bm25.collect()}
+    r_cov = {(r.query_id, r.doc_id): r.rank for r in cov.collect()}
+    expected = _py_rrf([r_bm25, r_cov])
+    got = {
+        (r.query_id, r.doc_id): (r.rrf_nano, r.n_rankers, r.rank)
+        for r in fused
+    }
+    assert got == expected
+    # a doc found by both rankers outranks one found by a single ranker
+    # at similar positions
+    both = [r for r in fused if r.n_rankers == 2]
+    assert both, "fixture must produce docs ranked by both rankers"
+
+
+def test_coverage_ranker_prefers_more_terms_then_shorter(spark):
+    from data_quality_automated_evaluator_spark.operators.retrieval import (
+        coverage_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark agg extra words making it longer"),
+            (1, "spark agg"),
+            (2, "spark only here"),
+        ],
+        "doc_id long, text string",
+    )
+    qt = spark.createDataFrame(
+        [(1, "spark"), (1, "agg")], "query_id int, term string"
+    )
+    rows = sorted(coverage_topk(docs, qt).collect(), key=lambda r: r.rank)
+    # both cover 2 terms; doc1 is shorter → first; doc2 covers 1 → last
+    assert [r.doc_id for r in rows] == [1, 0, 2]
+    assert [r.n_cov for r in rows] == [2, 2, 1]
+
+
+def test_parrot_rate_detects_planted_echo(spark, tmp_path, monkeypatch):
+    """Planted conversation: an assistant turn that repeats the user's
+    sentence verbatim is flagged; an unrelated answer is not; <3-token
+    turns are excluded (the sequence(1,0) gate)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    import data_quality_automated_evaluator_spark.entry_queries as eq
+
+    ts = dt.datetime(2024, 5, 1, 10, 0, 0)
+    rows = [
+        ("c1", 0, "user", "please summarize the quarterly revenue report", None, ts),
+        ("c1", 1, "assistant", "please summarize the quarterly revenue report", None, ts),
+        ("c2", 0, "user", "please summarize the quarterly revenue report", None, ts),
+        ("c2", 1, "assistant", "here is a completely original haiku instead", None, ts),
+        ("c3", 0, "user", "hi", None, ts),           # <3 tokens: excluded
+        ("c3", 1, "assistant", "ok", None, ts),      # <3 tokens: excluded
+    ]
+    path = str(tmp_path / "transcripts.parquet")
+    pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    ).astype({"ts": "datetime64[us]"}).to_parquet(path)
+    monkeypatch.setattr(eq, "FIXTURE_TRANSCRIPTS", path)
+    monkeypatch.setattr(
+        "data_quality_automated_evaluator_spark.testdata.write_transcripts_parquet",
+        lambda *a, **k: None,
+    )
+    out = eq.QUERIES["parrot_rate_transcripts"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.day == "2024-05-01"
+    assert r.n_considered == 2  # c3 excluded entirely
+    assert r.n_parrot == 1      # c1 echo flagged, c2 original not
+    assert r.parrot_rate == 0.5
