@@ -5728,3 +5728,174 @@ def parrot_rate_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["parrot_rate_transcripts"] = _parrot_oracle(FIXTURE_TRANSCRIPTS)
+
+
+@register(
+    "corpus_datacard_documents",
+    oracle=r"""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+             AS total_ws_tokens,
+           round(CAST(sum(length(text)) AS BIGINT)
+                 / CAST(count(*) AS BIGINT), 6) AS mean_doc_chars,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+           round((CAST(count(*) AS BIGINT)
+                  - CAST(count(DISTINCT md5(text)) AS BIGINT))
+                 / CAST(count(*) AS BIGINT), 6) AS exact_dup_rate
+    FROM documents
+    """,
+)
+def corpus_datacard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus datacard: the headline numbers a dataset card
+    reports (doc/source/language counts, size, exact-duplicate rate).
+    All algebraic aggregates in one pass; the only distinct is over
+    16-byte md5 digests (never text) — the same digest-only rule the
+    dedup operators follow. Ratios divide exact BIGINTs."""
+    df = _t(spark, sf_dir, "documents")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(F.regexp_count("text", F.lit(r"\S+"))).alias("total_ws_tokens"),
+        F.round(F.sum(F.length("text")) / F.count(F.lit(1)), 6).alias(
+            "mean_doc_chars"
+        ),
+        F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+        F.round(
+            (F.count(F.lit(1)) - F.countDistinct(F.md5("text")))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("exact_dup_rate"),
+    )
+
+
+@register(
+    "feature_corr_documents",
+    oracle=r"""
+    WITH f AS (
+      SELECT source, CAST(length(text) AS BIGINT) AS x,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS y
+      FROM documents
+    ), s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM f GROUP BY source
+    )
+    SELECT source, n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS corr_chars_tokens
+    FROM s ORDER BY source
+    """,
+)
+def feature_corr_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Pearson correlation between document length (chars)
+    and whitespace token count — the sanity audit run while developing
+    quality features (a source where the two decorrelate has anomalous
+    tokenization: code, CJK, binary junk). The five moment sums are
+    exact BIGINTs from ONE map-side-combined agg; the correlation
+    formula is then a single double expression written identically in
+    both engines (no avg/stddev built-ins — engine-internal streaming
+    variance orders would diverge)."""
+    df = _t(spark, sf_dir, "documents")
+    x = F.length("text").cast("long")
+    y = F.regexp_count("text", F.lit(r"\S+")).cast("long")
+    s = df.select(
+        "source", x.alias("x"), y.alias("y")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd, syyd = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    return s.select(
+        "source",
+        "n",
+        F.round(
+            (nd * sxyd - sxd * syd)
+            / (
+                F.sqrt(nd * sxxd - sxd * sxd)
+                * F.sqrt(nd * syyd - syd * syd)
+            ),
+            6,
+        ).alias("corr_chars_tokens"),
+    ).orderBy("source")
+
+
+def _dup_growth_oracle(path: str) -> str:
+    return f"""
+    WITH t AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, md5(text) AS dg
+      FROM read_parquet('{path}') WHERE text IS NOT NULL
+    ), per AS (
+      SELECT dg, day, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY dg, day
+    ), firsts AS (
+      SELECT dg, min(day) AS first_day FROM per GROUP BY dg
+    )
+    SELECT day,
+           CAST(sum(n) AS BIGINT) AS n_turns,
+           CAST(sum(CASE WHEN day > first_day THEN n ELSE 0 END) AS BIGINT)
+             AS n_seen_before,
+           round(CAST(sum(CASE WHEN day > first_day THEN n ELSE 0 END)
+                      AS BIGINT)
+                 / CAST(sum(n) AS BIGINT), 6) AS repeat_rate
+    FROM per JOIN firsts USING (dg)
+    GROUP BY day ORDER BY day
+    """
+
+
+@register("dup_growth_transcripts", oracle=None)  # bound below
+def dup_growth_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-growth monitor: per day, the share of turns whose exact
+    text already appeared on an EARLIER day (same md5 digest) — rising
+    repeat-rate means templated/bot traffic is accreting and dedup
+    pressure is growing. The corpus compacts to (digest, day) counts in
+    one map-side-combined shuffle; first-seen day is a digest-keyed agg
+    over that compacted frame, co-partitioned with the join that follows
+    (one Exchange reused); only 16-byte digests ever shuffle."""
+    from .testdata import write_transcripts_parquet
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    t = (
+        spark.read.parquet(FIXTURE_TRANSCRIPTS)
+        .filter("text IS NOT NULL")
+        .select(
+            F.to_date("ts").cast("string").alias("day"),
+            F.md5("text").alias("dg"),
+        )
+    )
+    per = t.groupBy("dg", "day").agg(F.count(F.lit(1)).alias("n"))
+    firsts = per.groupBy("dg").agg(F.min("day").alias("first_day"))
+    seen = F.when(F.col("day") > F.col("first_day"), F.col("n")).otherwise(
+        F.lit(0)
+    )
+    return (
+        per.join(firsts, "dg")
+        .groupBy("day")
+        .agg(
+            F.sum("n").alias("n_turns"),
+            F.sum(seen).alias("n_seen_before"),
+            F.round(F.sum(seen) / F.sum("n"), 6).alias("repeat_rate"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLES["dup_growth_transcripts"] = _dup_growth_oracle(FIXTURE_TRANSCRIPTS)

@@ -360,3 +360,94 @@ def test_parrot_rate_detects_planted_echo(spark, tmp_path, monkeypatch):
     assert r.n_considered == 2  # c3 excluded entirely
     assert r.n_parrot == 1      # c1 echo flagged, c2 original not
     assert r.parrot_rate == 0.5
+
+
+def test_corpus_datacard_known_values(spark, tmp_path):
+    import pandas as pd
+
+    rows = [
+        (0, "a b c", "en", "s1", 5),
+        (1, "a b c", "en", "s1", 5),   # exact dup of doc 0
+        (2, "d e", "fr", "s2", 3),
+        (3, "x", "en", "s2", 1),
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    from data_quality_automated_evaluator_spark.entry_queries import QUERIES
+
+    r = QUERIES["corpus_datacard_documents"](spark, str(tmp_path)).collect()[0]
+    assert r.n_docs == 4 and r.n_sources == 2 and r.n_langs == 2
+    assert r.total_chars == 5 + 5 + 3 + 1
+    assert r.total_ws_tokens == 3 + 3 + 2 + 1
+    assert r.n_distinct_texts == 3
+    assert r.exact_dup_rate == 0.25
+    assert r.mean_doc_chars == 3.5
+
+
+def test_feature_corr_matches_numpy(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    texts = [
+        " ".join(["w" * rng.integers(1, 9) for _ in range(rng.integers(2, 40))])
+        for _ in range(200)
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(200),
+            "text": texts,
+            "lang": "en",
+            "source": ["sA" if i % 2 else "sB" for i in range(200)],
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    from data_quality_automated_evaluator_spark.entry_queries import QUERIES
+
+    got = {
+        r.source: r.corr_chars_tokens
+        for r in QUERIES["feature_corr_documents"](spark, str(tmp_path)).collect()
+    }
+    for src in ("sA", "sB"):
+        sub = pdf[pdf.source == src]
+        x = sub.text.str.len().to_numpy(dtype=float)
+        y = sub.text.str.split().str.len().to_numpy(dtype=float)
+        expected = np.corrcoef(x, y)[0, 1]
+        assert got[src] == pytest.approx(expected, abs=2e-6)
+
+
+def test_dup_growth_first_day_not_counted(spark, tmp_path, monkeypatch):
+    """A text repeated within its first day is NOT 'seen before'; the
+    same text on a later day is."""
+    import datetime as dt
+
+    import pandas as pd
+
+    import data_quality_automated_evaluator_spark.entry_queries as eq
+
+    d1 = dt.datetime(2024, 5, 1, 9, 0, 0)
+    d2 = dt.datetime(2024, 5, 2, 9, 0, 0)
+    rows = [
+        ("c1", 0, "user", "hello template", None, d1),
+        ("c1", 1, "user", "hello template", None, d1),  # same-day repeat
+        ("c2", 0, "user", "hello template", None, d2),  # next-day repeat
+        ("c2", 1, "user", "fresh text", None, d2),
+    ]
+    path = str(tmp_path / "transcripts.parquet")
+    pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    ).astype({"ts": "datetime64[us]"}).to_parquet(path)
+    monkeypatch.setattr(eq, "FIXTURE_TRANSCRIPTS", path)
+    monkeypatch.setattr(
+        "data_quality_automated_evaluator_spark.testdata.write_transcripts_parquet",
+        lambda *a, **k: None,
+    )
+    out = {r.day: r for r in eq.QUERIES["dup_growth_transcripts"](
+        spark, str(tmp_path)).collect()}
+    assert out["2024-05-01"].n_turns == 2
+    assert out["2024-05-01"].n_seen_before == 0
+    assert out["2024-05-02"].n_turns == 2
+    assert out["2024-05-02"].n_seen_before == 1
+    assert out["2024-05-02"].repeat_rate == 0.5
