@@ -5899,3 +5899,65 @@ def dup_growth_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["dup_growth_transcripts"] = _dup_growth_oracle(FIXTURE_TRANSCRIPTS)
+
+
+def _pq_recall_oracle() -> str:
+    pq_sql = _pq_adc_oracle("embeddings", query_vec_id=7, k=10, m=8, ksub=8)
+    return f"""
+    WITH approx AS (
+      SELECT vec_id FROM ({pq_sql}) pq
+    ), exact AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                  WHERE vec_id = 7)), 6) AS c
+        FROM embeddings
+        ORDER BY c DESC, vec_id LIMIT 10
+      )
+    )
+    SELECT CAST(10 AS INT) AS k,
+           CAST(count(*) AS BIGINT) AS n_overlap,
+           round(CAST(count(*) AS BIGINT) / 10, 6) AS recall_at_k
+    FROM exact JOIN approx USING (vec_id)
+    """
+
+
+@register("pq_recall_embeddings", oracle=_pq_recall_oracle())
+def pq_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@10 of the PQ asymmetric-distance
+    search against the exact cosine ranking for the same corpus query
+    vector (vec_id=7) — the measurement that decides whether a
+    quantized index is good enough to replace the exact path. Both
+    rankings are bounded top-k frames (TakeOrderedAndProject each); the
+    exact side ranks on the 6dp-rounded cosine with vec_id tiebreak,
+    the same engine-noise pin the PQ query uses. One row out."""
+    from .operators.pq import pq_adc_topk, pq_encode, pq_train
+    from .operators.similarity import cosine_col
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, m=8, ksub=8, iters=1)
+    codes = pq_encode(emb, cb)
+    q = (
+        emb.filter(F.col("vec_id") == 7)
+        .select(F.col("embedding").cast("array<double>").alias("q"))
+        .first()["q"]
+    )
+    approx = pq_adc_topk(codes, cb, list(q), k=10).select("vec_id")
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    exact = (
+        emb.select(
+            "vec_id",
+            F.round(
+                cosine_col(F.col("embedding").cast("array<double>"), qlit), 6
+            ).alias("c"),
+        )
+        .orderBy(F.desc("c"), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    return exact.join(approx, "vec_id").agg(
+        F.lit(10).alias("k"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.round(F.count(F.lit(1)) / 10, 6).alias("recall_at_k"),
+    )

@@ -451,3 +451,17 @@ def test_dup_growth_first_day_not_counted(spark, tmp_path, monkeypatch):
     assert out["2024-05-02"].n_turns == 2
     assert out["2024-05-02"].n_seen_before == 1
     assert out["2024-05-02"].repeat_rate == 0.5
+
+
+def test_pq_recall_bounds_and_determinism(spark):
+    """pq_recall_embeddings: one row, recall == n_overlap/k, bounded in
+    [0,1], and deterministic across runs (PQ training, encoding and both
+    rankings are all seed-free deterministic pipelines)."""
+    from data_quality_automated_evaluator_spark.entry_queries import QUERIES
+
+    a = QUERIES["pq_recall_embeddings"](spark, "/root/testdata/sf0.001").collect()
+    b = QUERIES["pq_recall_embeddings"](spark, "/root/testdata/sf0.001").collect()
+    assert len(a) == 1 and a == b
+    r = a[0]
+    assert r.k == 10 and 0 <= r.n_overlap <= 10
+    assert r.recall_at_k == pytest.approx(r.n_overlap / 10)
