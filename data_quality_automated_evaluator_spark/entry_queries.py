@@ -5961,3 +5961,108 @@ def pq_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_overlap"),
         F.round(F.count(F.lit(1)) / 10, 6).alias("recall_at_k"),
     )
+
+
+def _conv_depth_oracle(path: str) -> str:
+    return f"""
+    WITH per AS (
+      SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns
+      FROM read_parquet('{path}') GROUP BY conv_id
+    )
+    SELECT n_turns, CAST(count(*) AS BIGINT) AS n_convs
+    FROM per GROUP BY n_turns ORDER BY n_turns
+    """
+
+
+@register("conv_depth_histogram_transcripts", oracle=None)  # bound below
+def conv_depth_histogram_transcripts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conversation-depth distribution: how many conversations have
+    exactly N turns — the mixing/curriculum planner's first question
+    (a depth-2 corpus trains a different model than a depth-40 one).
+    Two cascaded map-side-combined aggs; the second runs over the
+    conversation-level frame, so the corpus shuffles once on conv_id
+    carrying a count only."""
+    from .testdata import write_transcripts_parquet
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    t = spark.read.parquet(FIXTURE_TRANSCRIPTS)
+    per = t.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+    return (
+        per.groupBy("n_turns")
+        .agg(F.count(F.lit(1)).alias("n_convs"))
+        .orderBy("n_turns")
+    )
+
+
+ORACLES["conv_depth_histogram_transcripts"] = _conv_depth_oracle(
+    FIXTURE_TRANSCRIPTS
+)
+
+
+@register(
+    "dup_cluster_sizes_documents",
+    oracle=f"""
+    WITH RECURSIVE {_simhash_cte(_SIMHASH_BASE_SQL)},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src),
+    all_docs AS (SELECT doc_id FROM base),
+    labeled AS (
+      SELECT a.doc_id, CAST(coalesce(c.component, a.doc_id) AS BIGINT)
+               AS component
+      FROM all_docs a LEFT JOIN comp c USING (doc_id)
+    ),
+    sizes AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM labeled GROUP BY component
+    )
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+    """,
+)
+def dup_cluster_sizes_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution: after resolving simhash pairs
+    into connected components, how many clusters of each size exist and
+    how many documents they hold — the dedup-pressure summary a corpus
+    report leads with (a fat tail of large clusters means template
+    spam). Composes the pointer-jumping components operator; both
+    histogram aggs run over component-level frames (corpus-compacting
+    first shuffle carries 8-byte ids)."""
+    from .operators.components import resolve_duplicates
+    from .operators.dedup import simhash_md5_pairs
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter("doc_id < 500")
+    )
+    mutated = (
+        docs.filter(F.col("doc_id") < 50)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    )
+    all_docs = docs.unionAll(mutated)
+    pairs = simhash_md5_pairs(all_docs, max_hamming=3)
+    resolved = resolve_duplicates(all_docs, pairs)
+    sizes = resolved.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

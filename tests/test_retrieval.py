@@ -465,3 +465,54 @@ def test_pq_recall_bounds_and_determinism(spark):
     r = a[0]
     assert r.k == 10 and 0 <= r.n_overlap <= 10
     assert r.recall_at_k == pytest.approx(r.n_overlap / 10)
+
+
+def test_dup_cluster_sizes_accounting(spark):
+    """Cluster-size histogram must account for every document exactly
+    once: sum(n_docs) == corpus size, and the mutated-twin planting
+    guarantees clusters of size >= 2 exist."""
+    from data_quality_automated_evaluator_spark.entry_queries import QUERIES
+
+    rows = QUERIES["dup_cluster_sizes_documents"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    total = sum(r.n_docs for r in rows)
+    import duckdb
+
+    n = duckdb.sql(
+        "SELECT count(*) FROM (SELECT doc_id FROM "
+        "'/root/testdata/sf0.001/documents.parquet' WHERE doc_id < 500 "
+        "UNION ALL SELECT doc_id + 100000 FROM "
+        "'/root/testdata/sf0.001/documents.parquet' WHERE doc_id < 50)"
+    ).fetchone()[0]
+    assert total == n
+    assert any(r.cluster_size >= 2 and r.n_clusters > 0 for r in rows)
+    for r in rows:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+
+
+def test_conv_depth_histogram_accounts_all_convs(spark, tmp_path, monkeypatch):
+    import datetime as dt
+
+    import pandas as pd
+
+    import data_quality_automated_evaluator_spark.entry_queries as eq
+
+    ts = dt.datetime(2024, 1, 1)
+    rows = (
+        [("c1", i, "user", "t", None, ts) for i in range(3)]
+        + [("c2", i, "user", "t", None, ts) for i in range(3)]
+        + [("c3", 0, "user", "t", None, ts)]
+    )
+    path = str(tmp_path / "transcripts.parquet")
+    pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    ).astype({"ts": "datetime64[us]"}).to_parquet(path)
+    monkeypatch.setattr(eq, "FIXTURE_TRANSCRIPTS", path)
+    monkeypatch.setattr(
+        "data_quality_automated_evaluator_spark.testdata.write_transcripts_parquet",
+        lambda *a, **k: None,
+    )
+    out = {r.n_turns: r.n_convs for r in eq.QUERIES[
+        "conv_depth_histogram_transcripts"](spark, str(tmp_path)).collect()}
+    assert out == {1: 1, 3: 2}
