@@ -6066,3 +6066,90 @@ def dup_cluster_sizes_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@register(
+    "keep_rate_by_lang_transcripts",
+    oracle=keep_flags_oracle_sql(FIXTURE_TRANSCRIPTS, by_lang=True),
+)
+def keep_rate_by_lang_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-rate per PREDICTED language over the flagship pipeline's
+    labels — the fairness/mix view of the quality filter (a language
+    whose keep rate craters signals a rule biased against it, the
+    first thing a multilingual-corpus owner audits). Reuses the full
+    pipeline frame (single wide conv_id shuffle, text projected out);
+    the aggregation adds one lang-sized map-side-combined pass. The
+    DuckDB oracle re-derives every rule INCLUDING the in-SQL-trained
+    perplexity LM, grouped by the same langid spec labels."""
+    from .pipeline.quality import run_quality_pipeline
+    from .testdata import write_transcripts_parquet
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    df = spark.read.parquet(FIXTURE_TRANSCRIPTS)
+    res = run_quality_pipeline(df)
+    return (
+        res.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            F.round(
+                F.sum(F.col("keep").cast("long")) / F.count(F.lit(1)), 6
+            ).alias("keep_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SFT_MASK_STATS_ORACLE = rf"""
+    WITH t AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, role,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_text_tokens
+      FROM read_parquet('{FIXTURE_TRANSCRIPTS}')
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(n_text_tokens + 2) AS BIGINT) AS train_tokens,
+           CAST(sum(CASE WHEN role = 'assistant' THEN n_text_tokens
+                         ELSE 0 END) AS BIGINT) AS loss_tokens,
+           round(CAST(sum(CASE WHEN role = 'assistant' THEN n_text_tokens
+                          ELSE 0 END) AS BIGINT)
+                 / CAST(sum(n_text_tokens + 2) AS BIGINT), 6) AS loss_share
+    FROM t GROUP BY day ORDER BY day
+    """
+
+
+@register("sft_mask_stats_transcripts", oracle=_SFT_MASK_STATS_ORACLE)
+def sft_mask_stats_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loss-mask budget per day: rendered training tokens (text + the
+    2-token turn template overhead, the sft_loss_spans spec) vs tokens
+    actually in the loss (assistant text) — the share of compute that
+    teaches anything. A falling loss share means the corpus is drifting
+    toward long prompts with short answers. Map-only token counts in
+    scan codegen + one day-sized agg; no window needed (span offsets
+    don't matter for sums, so this costs a fraction of the spans
+    query)."""
+    from .operators.sft import _ws_tokens
+    from .testdata import write_transcripts_parquet
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    t = spark.read.parquet(FIXTURE_TRANSCRIPTS)
+    ntok = _ws_tokens(F.col("text")).cast("long")
+    loss = F.when(F.col("role") == "assistant", ntok).otherwise(F.lit(0))
+    return (
+        t.select(
+            F.to_date("ts").cast("string").alias("day"),
+            ntok.alias("ntok"),
+            loss.alias("loss"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.col("ntok") + 2).alias("train_tokens"),
+            F.sum("loss").alias("loss_tokens"),
+            F.round(F.sum("loss") / F.sum(F.col("ntok") + 2), 6).alias(
+                "loss_share"
+            ),
+        )
+        .orderBy("day")
+    )

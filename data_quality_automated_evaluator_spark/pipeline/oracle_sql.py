@@ -178,13 +178,16 @@ ppl AS (
 
 
 def keep_flags_oracle_sql(
-    parquet_path: str, t: Thresholds | None = None
+    parquet_path: str, t: Thresholds | None = None, by_lang: bool = False
 ) -> str:
     """Full keep/drop oracle SQL over a transcripts parquet file.
 
     Output schema (sorted by conv_id, turn_idx): conv_id, turn_idx,
     keep, and the nine rule flags — matching
     ``quality_keep_flags_transcripts`` column-for-column.
+    With ``by_lang=True`` the same rule derivation is instead aggregated
+    to per-predicted-language keep rates (lang, n_turns, n_keep,
+    keep_rate) — the fairness/mix view of the pipeline's labels.
     """
     t = t or Thresholds()
     assert t.allowed_langs == ("en",), "SQL oracle encodes the default langs"
@@ -230,7 +233,7 @@ viol AS (
   FROM conv
 ),
 flags AS (
-  SELECT conv_id, turn_idx,
+  SELECT conv_id, turn_idx, lang,
     (n_chars >= 1 AND n_chars <= {t.max_chars}) AS r_len,
     (CASE WHEN n_chars > 0 THEN CAST(n_symbols AS DOUBLE)/n_chars ELSE 0 END
        <= {t.max_symbol_ratio}) AS r_symbol,
@@ -246,10 +249,24 @@ flags AS (
     (conv_n_turns >= {t.min_turns} AND conv_n_turns <= {t.max_turns}) AS c_n_turns
   FROM viol
 )
-SELECT conv_id, turn_idx,
-       (r_len AND r_symbol AND r_repetition AND r_lang AND r_ppl AND r_role
-        AND c_first_role AND c_alternation AND c_n_turns) AS keep,
+{_keep_final_select(by_lang)}
+"""
+
+
+def _keep_final_select(by_lang: bool) -> str:
+    conj = (
+        "(r_len AND r_symbol AND r_repetition AND r_lang AND r_ppl AND r_role"
+        " AND c_first_role AND c_alternation AND c_n_turns)"
+    )
+    if by_lang:
+        return f"""SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN {conj} THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       round(CAST(sum(CASE WHEN {conj} THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(count(*) AS BIGINT), 6) AS keep_rate
+FROM flags GROUP BY lang ORDER BY lang"""
+    return f"""SELECT conv_id, turn_idx,
+       {conj} AS keep,
        r_len, r_symbol, r_repetition, r_lang, r_ppl, r_role,
        c_first_role, c_alternation, c_n_turns
-FROM flags ORDER BY conv_id, turn_idx
-"""
+FROM flags ORDER BY conv_id, turn_idx"""

@@ -516,3 +516,59 @@ def test_conv_depth_histogram_accounts_all_convs(spark, tmp_path, monkeypatch):
     out = {r.n_turns: r.n_convs for r in eq.QUERIES[
         "conv_depth_histogram_transcripts"](spark, str(tmp_path)).collect()}
     assert out == {1: 1, 3: 2}
+
+
+def test_keep_rate_by_lang_consistent_with_flags(spark):
+    """The per-lang keep rates must re-aggregate exactly from the
+    flagship per-turn labels joined with the pipeline's lang column."""
+    from data_quality_automated_evaluator_spark.entry_queries import (
+        FIXTURE_TRANSCRIPTS,
+        QUERIES,
+    )
+    from data_quality_automated_evaluator_spark.pipeline.quality import (
+        run_quality_pipeline,
+    )
+    from data_quality_automated_evaluator_spark.testdata import (
+        write_transcripts_parquet,
+    )
+
+    write_transcripts_parquet(FIXTURE_TRANSCRIPTS, n_convs=400, seed=42)
+    res = run_quality_pipeline(
+        spark.read.parquet(FIXTURE_TRANSCRIPTS)
+    ).select("lang", "keep").toPandas()
+    got = {
+        r.lang: (r.n_turns, r.n_keep, r.keep_rate)
+        for r in QUERIES["keep_rate_by_lang_transcripts"](spark, "unused").collect()
+    }
+    for lang, grp in res.groupby("lang"):
+        n, k = len(grp), int(grp.keep.sum())
+        assert got[lang] == (n, k, round(k / n, 6))
+    assert sum(v[0] for v in got.values()) == len(res)
+
+
+def test_sft_mask_stats_known_values(spark, tmp_path, monkeypatch):
+    import datetime as dt
+
+    import pandas as pd
+
+    import data_quality_automated_evaluator_spark.entry_queries as eq
+
+    ts = dt.datetime(2024, 7, 1, 12, 0, 0)
+    rows = [
+        ("c1", 0, "user", "one two three", None, ts),        # 3 tokens
+        ("c1", 1, "assistant", "four five", None, ts),       # 2 loss tokens
+        ("c1", 2, "user", "", None, ts),                     # 0 tokens
+    ]
+    path = str(tmp_path / "transcripts.parquet")
+    pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    ).astype({"ts": "datetime64[us]"}).to_parquet(path)
+    monkeypatch.setattr(eq, "FIXTURE_TRANSCRIPTS", path)
+    monkeypatch.setattr(
+        "data_quality_automated_evaluator_spark.testdata.write_transcripts_parquet",
+        lambda *a, **k: None,
+    )
+    r = eq.QUERIES["sft_mask_stats_transcripts"](spark, str(tmp_path)).collect()[0]
+    # train = (3+2) + (2+2) + (0+2) = 11; loss = 2
+    assert r.n_turns == 3 and r.train_tokens == 11 and r.loss_tokens == 2
+    assert r.loss_share == round(2 / 11, 6)
